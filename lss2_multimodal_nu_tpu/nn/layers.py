@@ -1,0 +1,151 @@
+"""Shared NN primitives (NHWC, Flax linen).
+
+Conventions used across the whole framework:
+  * activations NHWC in `dtype` (fp32 or bf16), parameters always fp32;
+  * BatchNorm statistics in fp32 (`use_running_average=not train`), torch
+    momentum m maps to flax momentum 1-m;
+  * module/param names chosen to give stable paths for the PyTorch weight
+    porter (port/torch_port.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm + optional activation — the ubiquitous block.
+
+    Matches torch nn.Conv2d(bias=False) + nn.BatchNorm2d(eps, momentum).
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    # "torch": symmetric dilation*(k-1)//2 per side — bit-identical to
+    # nn.Conv2d(padding=k//2). NOTE: XLA "SAME" pads asymmetrically at
+    # stride 2 (e.g. (0,1) vs torch (1,1)) which shifts features by one
+    # pixel; only TF-ported models (EfficientNet) want "SAME".
+    padding: Any = "torch"
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    act: Optional[Callable] = nn.relu
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*batch
+    use_bn: bool = True
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        padding = self.padding
+        if padding == "torch":
+            ph = self.dilation[0] * (self.kernel[0] - 1) // 2
+            pw = self.dilation[1] * (self.kernel[1] - 1) // 2
+            padding = [(ph, ph), (pw, pw)]
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=padding,
+            kernel_dilation=self.dilation,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def torch_padding(kernel: Tuple[int, int], padding: Tuple[int, int]):
+    """Explicit symmetric padding like torch Conv2d(padding=p)."""
+    return [(padding[0], padding[0]), (padding[1], padding[1])]
+
+
+def max_pool_ceil(
+    x: jnp.ndarray,
+    window: Tuple[int, int],
+    strides: Tuple[int, int],
+    padding: Tuple[int, int] = (0, 0),
+    ceil_mode: bool = False,
+) -> jnp.ndarray:
+    """torch nn.MaxPool2d semantics incl. ceil_mode (used by VoVNet's 3x3/s2
+    ceil pool and BevPost's (5,4) pool)."""
+    _, h, w, _ = x.shape
+    pads = []
+    for size, k, s, p in ((h, window[0], strides[0], padding[0]), (w, window[1], strides[1], padding[1])):
+        if ceil_mode:
+            out = -(-(size + 2 * p - k) // s) + 1
+            # torch: last window must start inside the (left-)padded input
+            if (out - 1) * s >= size + p:
+                out -= 1
+        else:
+            out = (size + 2 * p - k) // s + 1
+        total_needed = (out - 1) * s + k
+        pads.append((p, max(total_needed - size - p, 0)))
+    neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *strides, 1),
+        padding=[(0, 0), pads[0], pads[1], (0, 0)],
+    )
+
+
+def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    """torch nn.AdaptiveAvgPool2d(1) on NHWC."""
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def hard_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.Hardsigmoid: relu6(x + 3) / 6."""
+    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+
+
+def drop_connect(
+    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Per-sample stochastic depth (efficientnet_pytorch utils.drop_connect)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape=shape).astype(x.dtype)
+    return x / keep * mask
+
+
+class Up(nn.Module):
+    """Bilinear x`scale` upsample (align_corners=True) + concat skip + 2x
+    conv-BN-ReLU (reference src/modules.py:9-27)."""
+
+    features: int
+    scale: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        from ..ops.sampling import resize_bilinear
+
+        _, h, w, _ = x1.shape
+        x1 = resize_bilinear(x1, (h * self.scale, w * self.scale), align_corners=True)
+        x = jnp.concatenate([x2, x1], axis=-1)
+        x = ConvBN(self.features, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBN(self.features, dtype=self.dtype, name="conv2")(x, train)
+        return x
