@@ -1,0 +1,311 @@
+"""Command-line entry point.
+
+One CLI with subcommands replaces the reference's five scripts:
+  pretrain      <- pre_train.py        (stage-1 BEV-only, stack A)
+  train         <- train.py            (stage-2 multitask, stack A)
+  train-onlybev <- train.py w/ compile_model_onlybev
+  pretrain-v2   <- pre_train_vovnet.py (stack B stage 1)
+  train-v2      <- train_vovnet_transformer.py (stack B, V1/V2/V3)
+  predict       <- predict.py          (test-split eval)
+
+Flags default to the reference's values (train.py:99-131 etc.); logging
+reproduces the append-only result.txt / test.txt surface plus a JSONL
+metrics stream.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _build_cfg(args, family: str):
+    from .config import AugConfig, Config, GridConfig, MeshConfig, ModelConfig, TrainConfig
+
+    grid = GridConfig(
+        xbound=tuple(args.xbound), ybound=tuple(args.ybound),
+        zbound=tuple(args.zbound), dbound=tuple(args.dbound),
+    )
+    aug = AugConfig(
+        H=args.H, W=args.W, final_dim=tuple(args.final_dim),
+        resize_lim=tuple(args.resize_lim), bot_pct_lim=tuple(args.bot_pct_lim),
+        rot_lim=tuple(args.rot_lim), rand_flip=args.rand_flip, ncams=args.ncams,
+    )
+    model = ModelConfig(
+        family=family, seg_classes=args.seg_classes,
+        effnet_variant=args.effnet_variant, vovnet_type=args.vovnet_type,
+        lss_version=args.lss_version,
+        use_camera_attn=args.version_flags in ("V2", "V3"),
+        use_cross_attn=args.version_flags == "V3",
+        compute_dtype=args.dtype,
+    )
+    train = TrainConfig(
+        batch_size=args.bsize, lr=args.lr, weight_decay=args.wdecay,
+        max_grad_norm=args.max_grad_norm, num_epochs=args.nepochs,
+        use_schedule=(family == "vovnet_transformer" and args.use_schedule),
+        seed=args.seed,
+    )
+    mesh = MeshConfig(dp=args.dp, fsdp=args.fsdp)
+    return Config(
+        grid=grid, aug=aug, model=model, train=train, mesh=mesh,
+        dataroot=args.dataroot, version=args.version, logdir=args.logdir,
+    )
+
+
+def _loaders(cfg, with_txt: bool, split_family: str, test: bool = False, nworkers: int = 8):
+    from .data.dataset import NuA2DDataset
+    from .data.loader import DataLoader
+    from .data.nuscenes_index import NuScenesIndex
+
+    dataroot = os.path.join(cfg.dataroot, cfg.version)
+    nusc = NuScenesIndex(f"v1.0-{cfg.version}", dataroot)
+    common = dict(
+        aug=cfg.aug, grid=cfg.grid, data_root=dataroot,
+        split_family=split_family, with_txt=with_txt,
+    )
+    if test:
+        split = "test" if cfg.version == "trainval" else "mini_val"
+        ds = NuA2DDataset(nusc, is_train=False, split=split, **common)
+        return DataLoader(ds, cfg.train.batch_size, shuffle=False, drop_last=True,
+                          num_workers=nworkers)
+    tr = NuA2DDataset(
+        nusc, is_train=True,
+        rng=np.random.default_rng(cfg.train.seed), **common,
+    )
+    va = NuA2DDataset(nusc, is_train=False, **common)
+    return (
+        DataLoader(tr, cfg.train.batch_size, shuffle=True, drop_last=True,
+                   num_workers=nworkers),
+        DataLoader(va, cfg.train.batch_size, shuffle=False, drop_last=True,
+                   num_workers=nworkers),
+    )
+
+
+def _evaluate(cfg, model, params, batch_stats, loader, mesh=None):
+    """get_val_info / get_val_info_new equivalent (tools.py:267-342)."""
+    import jax.numpy as jnp
+
+    from .train.metrics import confusion_matrix_compute, format_confusion, per_class_and_macro_f1
+    from .train.steps import make_eval_step
+
+    ev = make_eval_step(cfg, model)
+    confmat = jnp.zeros((cfg.model.seg_classes,) * 2, jnp.int32)
+    total_loss, total_n = 0.0, 0
+    acts_t, acts_p, descs_t, descs_p = [], [], [], []
+    for batch in loader:
+        res = ev(params, batch_stats, batch, confmat)
+        confmat = res["confmat"]
+        bs = int(res["bsize"])
+        total_loss += float(res["loss"]) * bs
+        total_n += bs
+        if "act_pred" in res:
+            acts_p.append(np.asarray(res["act_pred"]))
+            descs_p.append(np.asarray(res["desc_pred"]))
+            acts_t.append(np.asarray(batch["act"]))
+            descs_t.append(np.asarray(batch["desc"]))
+    out = {
+        "confmat": np.asarray(confmat),
+        "loss": total_loss / max(total_n, 1),
+    }
+    out.update(confusion_matrix_compute(out["confmat"]))
+    out["confmat_str"] = format_confusion(out["confmat"])
+    if acts_p:
+        act_per, act_overall, act_mean = per_class_and_macro_f1(
+            np.concatenate(acts_t), np.concatenate(acts_p)
+        )
+        desc_per, desc_overall, desc_mean = per_class_and_macro_f1(
+            np.concatenate(descs_t), np.concatenate(descs_p)
+        )
+        out.update(
+            act_f1=act_per.tolist(), desc_f1=desc_per.tolist(),
+            act_overall=act_overall, desc_overall=desc_overall,
+            act_mean=act_mean, desc_mean=desc_mean,
+        )
+    return out
+
+
+def run_training(args, family: str, with_txt: bool, split_family: str):
+    import jax
+    import jax.numpy as jnp
+
+    from .models.factory import build_model
+    from .parallel.mesh import make_mesh, shard_batch, shard_state
+    from .train import checkpoint as ckpt
+    from .train.state import create_train_state
+    from .train.steps import make_train_step
+
+    cfg = _build_cfg(args, family)
+    os.makedirs(cfg.logdir, exist_ok=True)
+    trainloader, valloader = _loaders(cfg, with_txt, split_family, nworkers=args.nworkers)
+
+    model = build_model(cfg)
+    sample = next(iter(trainloader))
+    inputs = tuple(
+        jnp.asarray(sample[k][:1])
+        for k in ("imgs", "rots", "trans", "intrins", "post_rots", "post_trans")
+    )
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(cfg.train.seed), inputs,
+        steps_per_epoch=max(len(trainloader), 1),
+    )
+    if args.checkpoint:
+        print("loading", args.checkpoint)
+        p, bs = ckpt.restore_params_loose(args.checkpoint, state.params, state.batch_stats)
+        state = state.replace(params=p, batch_stats=bs)
+    elif args.resume:
+        latest = ckpt.latest_checkpoint(cfg.logdir)
+        if latest:
+            print("resuming from", latest)
+            state = ckpt.restore_train_state(latest, state)
+
+    mesh = None
+    if cfg.mesh.dp * cfg.mesh.fsdp > 1:
+        mesh = make_mesh(cfg)
+        state = shard_state(mesh, state)
+
+    step = make_train_step(cfg, model)
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    counter = 0
+    results_txt = os.path.join(cfg.logdir, args.results_file)
+    metrics_jsonl = os.path.join(cfg.logdir, "metrics.jsonl")
+    for epoch in range(cfg.train.num_epochs):
+        print(f"--------------Epoch: {epoch}--------------")
+        t_ep = time.time()
+        for batch in trainloader:
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, metrics = step(state, batch, rng)
+            counter += 1
+            if counter % args.log_every == 0:
+                loss = float(metrics["loss"])
+                print(f"Counter{counter} Train_Loss: {loss}")
+                with open(metrics_jsonl, "a") as f:
+                    f.write(json.dumps({"step": counter, "loss": loss}) + "\n")
+        info = _evaluate(cfg, model, state.params, state.batch_stats, valloader)
+        print(info["confmat_str"])
+        with open(results_txt, "a") as f:
+            f.write(f"epoch{epoch}" + info["confmat_str"] + "\n")
+            if "act_overall" in info:
+                f.write(
+                    "F1_info: F1_Action: {act_f1}\nF1_Description: {desc_f1}\n"
+                    "Action_overall: {act_overall}\nDescription_overall: {desc_overall}\n"
+                    "Action_mean: {act_mean}\nDescription_mean: {desc_mean}\n".format(**info)
+                )
+            f.write("\n")
+        mname = os.path.join(cfg.logdir, f"model{epoch}")
+        print("saving", mname)
+        ckpt.save_params(mname, state.params, state.batch_stats)
+        print(f"epoch time: {time.time() - t_ep:.1f}s")
+    return state
+
+
+def run_predict(args, family: str):
+    import jax
+
+    from .models.factory import build_model
+    from .train import checkpoint as ckpt
+    from .train.state import create_train_state
+
+    cfg = _build_cfg(args, family)
+    testloader = _loaders(cfg, with_txt=True, split_family="nu_a2d", test=True, nworkers=args.nworkers)
+    model = build_model(cfg)
+    sample = next(iter(testloader))
+    import jax.numpy as jnp
+
+    inputs = tuple(
+        jnp.asarray(sample[k][:1])
+        for k in ("imgs", "rots", "trans", "intrins", "post_rots", "post_trans")
+    )
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs)
+    params, batch_stats = state.params, state.batch_stats
+    if args.checkpoint:
+        params, batch_stats = ckpt.restore_params_loose(args.checkpoint, params, batch_stats)
+    info = _evaluate(cfg, model, params, batch_stats, testloader)
+    print(info["confmat_str"])
+    report = {
+        k: (v.tolist() if isinstance(v, np.ndarray) else v)
+        for k, v in info.items()
+        if k not in ("confmat", "confmat_str")
+    }
+    print(report)
+    with open(args.out_file, "a") as f:  # predict.py:97-99 surface
+        f.write(info["confmat_str"] + "\n" + json.dumps(report) + "\n\n")
+    return info
+
+
+def add_common(p: argparse.ArgumentParser):
+    p.add_argument("--version", default="trainval", choices=["trainval", "mini"])
+    p.add_argument("--dataroot", default="/data/nu-A2D")
+    p.add_argument("--nepochs", default=50, type=int)
+    p.add_argument("--logdir", default="./result-log/")
+    p.add_argument("--bsize", default=6, type=int)
+    p.add_argument("--nworkers", default=10, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--wdecay", default=1e-8, type=float)
+    p.add_argument("--max_grad_norm", default=5.0, type=float)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seg_classes", default=4, type=int)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--log_every", default=200, type=int)
+    p.add_argument("--results_file", default="result.txt")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # grid/aug (reference train.py:116-127)
+    p.add_argument("--xbound", nargs=3, type=float, default=[-50.0, 50.0, 0.5])
+    p.add_argument("--ybound", nargs=3, type=float, default=[-50.0, 50.0, 0.5])
+    p.add_argument("--zbound", nargs=3, type=float, default=[-10.0, 10.0, 20.0])
+    p.add_argument("--dbound", nargs=3, type=float, default=[4.0, 45.0, 1.0])
+    p.add_argument("--H", default=900, type=int)
+    p.add_argument("--W", default=1600, type=int)
+    p.add_argument("--final_dim", nargs=2, type=int, default=[128, 352])
+    p.add_argument("--resize_lim", nargs=2, type=float, default=[0.193, 0.225])
+    p.add_argument("--bot_pct_lim", nargs=2, type=float, default=[0.0, 0.22])
+    p.add_argument("--rot_lim", nargs=2, type=float, default=[-5.4, 5.4])
+    p.add_argument("--rand_flip", action="store_true")
+    p.add_argument("--ncams", default=6, type=int)
+    # model knobs
+    p.add_argument("--effnet_variant", default="b4")
+    p.add_argument("--vovnet_type", default="vovnet39",
+                   choices=["vovnet39", "vovnet57", "vovnet99"])
+    p.add_argument("--lss_version", default="v2", choices=["v1", "v2"])
+    p.add_argument("--version_flags", default="V3", choices=["V1", "V2", "V3"])
+    p.add_argument("--use_schedule", action="store_true", default=True)
+    # mesh
+    p.add_argument("--dp", default=1, type=int)
+    p.add_argument("--fsdp", default=1, type=int)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("lss2_multimodal_nu_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in ("pretrain", "train", "train-onlybev", "pretrain-v2", "train-v2", "predict"):
+        p = sub.add_parser(name)
+        add_common(p)
+        if name == "predict":
+            p.add_argument("--out_file", default="./test.txt")
+    args = parser.parse_args(argv)
+
+    if args.cmd == "pretrain":
+        args.lr, args.wdecay = (args.lr if args.lr != 1e-4 else 1e-3), 1e-7
+        return run_training(args, "lss", with_txt=False, split_family="nuscenes_full")
+    if args.cmd == "train":
+        return run_training(args, "bev_txt", with_txt=True, split_family="nu_a2d")
+    if args.cmd == "train-onlybev":
+        return run_training(args, "bev_txt_onlybev", with_txt=True, split_family="nu_a2d")
+    if args.cmd == "pretrain-v2":
+        return run_training(args, "vovnet_transformer", with_txt=True, split_family="nu_a2d")
+    if args.cmd == "train-v2":
+        args.max_grad_norm = 10.0
+        return run_training(args, "vovnet_transformer", with_txt=True, split_family="nu_a2d")
+    if args.cmd == "predict":
+        return run_predict(args, "bev_txt")
+    raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    main()

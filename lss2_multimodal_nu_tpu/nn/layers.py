@@ -98,10 +98,12 @@ def max_pool_ceil(
             out = (size + 2 * p - k) // s + 1
         total_needed = (out - 1) * s + k
         pads.append((p, max(total_needed - size - p, 0)))
-    neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+    # NB: the init value must be a plain Python scalar — a jnp array here
+    # defeats JAX's specialized reduce_window_max primitive and its VJP,
+    # breaking reverse AD under jit.
     return jax.lax.reduce_window(
         x,
-        neg,
+        -float("inf"),
         jax.lax.max,
         window_dimensions=(1, *window, 1),
         window_strides=(1, *strides, 1),

@@ -1,0 +1,135 @@
+"""Checkpointing via Orbax — the reference's three schemes (SURVEY §5):
+
+  1. params-only per epoch (`model{epoch}.pt`, train.py:93-95);
+  2. component-wise subtrees for transfer learning
+     (pre_train_vovnet.py:465-477 -> consumed with graceful mismatch skip at
+     train_vovnet_transformer.py:430-449);
+  3. full train state incl. optimizer + step (best/periodic,
+     train_vovnet_transformer.py:573-605).
+
+Restores support `strict=False` semantics (train.py:39): subtrees present in
+the checkpoint override the freshly-initialized tree; everything else keeps
+its init values; shape mismatches are skipped with a warning.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_params(path: str, params: Any, batch_stats: Any) -> None:
+    _ckptr().save(
+        os.path.abspath(path),
+        {"params": _to_host(params), "batch_stats": _to_host(batch_stats)},
+        force=True,
+    )
+
+
+def load_tree(path: str) -> Dict[str, Any]:
+    return _ckptr().restore(os.path.abspath(path))
+
+
+def merge_loose(init: Any, restored: Any, prefix: str = "") -> Any:
+    """load_state_dict(strict=False)-style merge: recursively take restored
+    leaves whose path+shape match the init tree; keep init otherwise."""
+    if isinstance(init, dict):
+        if not isinstance(restored, dict):
+            return init
+        return {
+            k: merge_loose(v, restored[k], f"{prefix}/{k}") if k in restored else v
+            for k, v in init.items()
+        }
+    if restored is None:
+        return init
+    try:
+        r = np.asarray(restored)
+        i = np.asarray(init)
+        if r.shape == i.shape:
+            return r.astype(i.dtype)
+        print(f"[ckpt] skip {prefix}: shape {r.shape} != {i.shape}")
+    except Exception as e:  # pragma: no cover
+        print(f"[ckpt] skip {prefix}: {e}")
+    return init
+
+
+def restore_params_loose(path: str, params: Any, batch_stats: Any):
+    tree = load_tree(path)
+    return (
+        merge_loose(params, tree.get("params", {})),
+        merge_loose(batch_stats, tree.get("batch_stats", {})),
+    )
+
+
+def save_components(
+    path: str, params: Any, batch_stats: Any, components: Sequence[str]
+) -> None:
+    """Scheme 2: save named top-level module subtrees only."""
+    payload = {
+        "params": {k: _to_host(params[k]) for k in components if k in params},
+        "batch_stats": {
+            k: _to_host(batch_stats[k]) for k in components if k in batch_stats
+        },
+        "components": list(components),
+    }
+    _ckptr().save(os.path.abspath(path), payload, force=True)
+
+
+def save_train_state(path: str, state: TrainState, extra: Optional[Dict] = None):
+    """Scheme 3: full resumable state (step/params/batch_stats/opt_state)."""
+    payload = {
+        "step": np.asarray(jax.device_get(state.step)),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+    }
+    if extra:
+        payload["extra"] = extra
+    _ckptr().save(os.path.abspath(path), payload, force=True)
+
+
+def restore_train_state(path: str, state: TrainState) -> TrainState:
+    restored = _ckptr().restore(
+        os.path.abspath(path),
+        item={
+            "step": np.asarray(jax.device_get(state.step)),
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
+            "opt_state": _to_host(state.opt_state),
+        },
+    )
+    return state.replace(
+        step=jax.numpy.asarray(restored["step"]),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=jax.tree_util.tree_map(
+            lambda i, r: r, state.opt_state, restored["opt_state"]
+        ),
+    )
+
+
+def latest_checkpoint(logdir: str, prefix: str = "model") -> Optional[str]:
+    """Auto-restore-latest helper (the reference has none — recovery is a
+    manual --checkpoint flag, train.py:37-39)."""
+    if not os.path.isdir(logdir):
+        return None
+    cands = []
+    for name in os.listdir(logdir):
+        if name.startswith(prefix):
+            digits = "".join(c for c in name[len(prefix):] if c.isdigit())
+            if digits:
+                cands.append((int(digits), os.path.join(logdir, name)))
+    return max(cands)[1] if cands else None

@@ -1,0 +1,105 @@
+"""Jitted train/eval steps, family-aware.
+
+One functional step replaces the reference's four per-script loops
+(pre_train.py:47-87, train.py:45-96, train_vovnet_transformer.py:169-240,
+pre_train_vovnet.py). Under a sharded mesh the same step runs data-parallel:
+batch means / confusion-matrix sums over the sharded batch axis become XLA
+collectives automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .losses import multi_loss, multi_task_loss, simple_loss
+from .metrics import confusion_matrix_update
+from .state import TrainState
+
+Batch = Dict[str, jnp.ndarray]
+
+MODEL_INPUTS = ("imgs", "rots", "trans", "intrins", "post_rots", "post_trans")
+
+
+def _forward(model, params, batch_stats, batch: Batch, train: bool, rng=None):
+    variables = {"params": params, "batch_stats": batch_stats}
+    args = tuple(batch[k] for k in MODEL_INPUTS)
+    if train:
+        out, mutated = model.apply(
+            variables, *args, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return out, mutated["batch_stats"]
+    return model.apply(variables, *args, train=False), batch_stats
+
+
+def _compute_loss(cfg: Config, out, batch: Batch):
+    family = cfg.model.family
+    if family == "lss":
+        loss = simple_loss(out, batch["binimg"])
+        return loss, {"loss": loss}
+    if family in ("bev_txt", "bev_txt_onlybev"):
+        bev, act, desc = out
+        loss = multi_loss(bev, act, desc, batch["binimg"], batch["act"], batch["desc"])
+        return loss, {"loss": loss}
+    if family == "vovnet_transformer":
+        bev, act, desc = out
+        loss, comps = multi_task_loss(
+            bev, act, desc, batch["binimg"], batch["act"], batch["desc"]
+        )
+        return loss, {"loss": loss, **comps}
+    raise ValueError(family)
+
+
+def make_train_step(cfg: Config, model):
+    @jax.jit
+    def train_step(state: TrainState, batch: Batch, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, new_bs = _forward(model, params, state.batch_stats, batch, True, rng)
+            loss, metrics = _compute_loss(cfg, out, batch)
+            return loss, (metrics, new_bs)
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = dict(metrics, grad_norm=optax_global_norm(grads))
+        return state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+def make_eval_step(cfg: Config, model):
+    num_classes = cfg.model.seg_classes
+    multitask = cfg.model.family != "lss"
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch: Batch, confmat):
+        out, _ = _forward(model, params, batch_stats, batch, False)
+        if multitask:
+            bev, act, desc = out
+        else:
+            bev, act, desc = out, None, None
+        loss, _ = _compute_loss(cfg, out, batch)
+        preds = jnp.argmax(bev, axis=-1)
+        confmat = confusion_matrix_update(
+            confmat, batch["binimg"], preds, num_classes
+        )
+        res = {"confmat": confmat, "loss": loss, "bsize": bev.shape[0]}
+        if multitask:
+            res["act_pred"] = jax.nn.sigmoid(act) > 0.5  # tools.py:310-311
+            res["desc_pred"] = jax.nn.sigmoid(desc) > 0.5
+        return res
+
+    return eval_step

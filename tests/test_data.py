@@ -1,0 +1,144 @@
+"""Data-pipeline tests on the synthetic nu-A2D fixture + geometry-helper
+parity (quaternions, box corners, rasterizer, PIL augmentation affine)."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lss2_multimodal_nu_tpu.config import AugConfig, GridConfig
+from lss2_multimodal_nu_tpu.core.augment import AugParams, sample_augmentation
+from lss2_multimodal_nu_tpu.data.dataset import (
+    NuA2DDataset,
+    fill_poly,
+    img_transform,
+    normalize_img,
+)
+from lss2_multimodal_nu_tpu.data.loader import DataLoader
+from lss2_multimodal_nu_tpu.data.nuscenes_index import (
+    NuScenesIndex,
+    box_bottom_corners,
+    quaternion_inverse,
+    quaternion_multiply,
+    quaternion_rotation_matrix,
+)
+from lss2_multimodal_nu_tpu.data.splits import create_splits_scenes
+from lss2_multimodal_nu_tpu.data.synthetic import generate
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nu_a2d_fixture"))
+    generate(root, samples_per_scene=3)
+    return root
+
+
+def test_splits_shapes():
+    sp = create_splits_scenes("nu_a2d")
+    assert len(sp["train"]) == 200 and len(sp["val"]) == 50 and len(sp["test"]) == 50
+    full = create_splits_scenes("nuscenes_full")
+    assert len(full["train"]) > 200
+
+
+def test_quaternion_helpers():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=4)
+    q = q / np.linalg.norm(q)
+    R = quaternion_rotation_matrix(q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, rtol=1e-10)
+    qi = quaternion_inverse(q)
+    np.testing.assert_allclose(
+        quaternion_rotation_matrix(qi), R.T, atol=1e-10
+    )
+    qq = quaternion_multiply(q, qi)
+    np.testing.assert_allclose(qq, [1, 0, 0, 0], atol=1e-10)
+
+
+def test_box_bottom_corners_axis_aligned():
+    # identity orientation: l along x, w along y, bottom z
+    pts = box_bottom_corners(np.array([10.0, 5.0, 1.0]), [2.0, 4.0, 1.5], [1, 0, 0, 0])
+    assert pts.shape == (2, 4)
+    xs, ys = pts
+    np.testing.assert_allclose(sorted(set(np.round(xs, 6))), [8.0, 12.0])
+    np.testing.assert_allclose(sorted(set(np.round(ys, 6))), [4.0, 6.0])
+
+
+def test_fill_poly_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        pts = rng.integers(2, 38, size=(4, 2)).astype(np.int32)
+        a = np.zeros((40, 40))
+        b = np.zeros((40, 40))
+        fill_poly(a, pts, 1.0)  # dispatches to cv2 when available
+        cv2.fillPoly(b, [pts], 1.0)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_img_transform_affine_consistency():
+    """A source-pixel landmark mapped by (post_rot, post_tran) must land on the
+    transformed pixel location in the output image."""
+    src = Image.new("RGB", (1600, 900))
+    arr = np.zeros((900, 1600, 3), np.uint8)
+    arr[450:454, 800:804] = 255
+    src = Image.fromarray(arr)
+    params = AugParams(
+        resize=0.22, resize_dims=(352, 198), crop=(0, 70, 352, 198), flip=True,
+        rotate=0.0,
+    )
+    out, pr, pt = img_transform(src, params)
+    target = pr @ np.array([802.0, 452.0]) + pt
+    out_arr = np.asarray(out).sum(-1)
+    ys, xs = np.nonzero(out_arr > 100)
+    cx, cy = xs.mean(), ys.mean()
+    assert abs(cx - target[0]) < 2.0 and abs(cy - target[1]) < 2.0
+
+
+def test_index_and_dataset(fixture_root):
+    nusc = NuScenesIndex("v1.0-mini", fixture_root)
+    ds = NuA2DDataset(
+        nusc, is_train=True, aug=AugConfig(H=90, W=160), grid=GridConfig(),
+        data_root=fixture_root, rng=np.random.default_rng(0),
+    )
+    assert len(ds) == 6  # 2 mini_train scenes x 3 samples
+    item = ds[0]
+    assert item["imgs"].shape == (6, 128, 352, 3)
+    assert item["rots"].shape == (6, 3, 3)
+    assert item["binimg"].shape == (200, 200)
+    assert set(np.unique(item["binimg"])) <= {0, 1, 2, 3}
+    assert item["act"].shape == (4,) and item["desc"].shape == (8,)
+    # binimg contains drivable area from the binmap and at least tries vehicles
+    assert (item["binimg"] == 2).sum() > 0
+
+    val = NuA2DDataset(
+        nusc, is_train=False, aug=AugConfig(H=90, W=160), grid=GridConfig(),
+        data_root=fixture_root,
+    )
+    assert len(val) == 3
+
+
+def test_loader_batches_and_drop_last(fixture_root):
+    nusc = NuScenesIndex("v1.0-mini", fixture_root)
+    ds = NuA2DDataset(
+        nusc, is_train=True, aug=AugConfig(H=90, W=160), grid=GridConfig(),
+        data_root=fixture_root, rng=np.random.default_rng(0),
+    )
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 1  # 6 samples, bs 4, drop_last
+    b = batches[0]
+    assert b["imgs"].shape == (4, 6, 128, 352, 3)
+    assert b["binimg"].shape == (4, 200, 200)
+    # epoch 2 reshuffles
+    b2 = next(iter(dl))
+    assert b2["imgs"].shape == (4, 6, 128, 352, 3)
+
+
+def test_eval_aug_is_deterministic(fixture_root):
+    nusc = NuScenesIndex("v1.0-mini", fixture_root)
+    aug = AugConfig(H=90, W=160)
+    ds = NuA2DDataset(nusc, is_train=False, aug=aug, grid=GridConfig(), data_root=fixture_root)
+    a, b = ds[0], ds[0]
+    np.testing.assert_array_equal(a["imgs"], b["imgs"])
+    np.testing.assert_array_equal(a["post_rots"], b["post_rots"])
