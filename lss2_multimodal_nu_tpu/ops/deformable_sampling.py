@@ -23,9 +23,14 @@ pre-clamped to [0, 1] (the reference clamps too, transformer_modules.py:131),
 which bounds anchors inside the padded table.
 
 Measured (v5e, B=4, 8 heads, dh=32, 200x200, 8 pts): naive 1521 ms -> patch
-~240 ms. A windowed dense-MXU formulation (~20 ms theoretical) is the planned
-next step; Mosaic's `tpu.dynamic_gather` is intra-vreg only, so a classic
-VMEM-table Pallas gather kernel is not currently expressible.
+189 ms. Follow-up findings from this round's optimization study:
+  * the gather is FETCH-COUNT bound (~54M rows/s regardless of row bytes):
+    a bf16 table only gives 174 ms, so traffic is not the wall;
+  * a windowed dense-MXU reformulation (tiled one-hot matmuls) measures
+    ~207 ms — the one-hot/intermediate HBM traffic cancels the MXU win;
+  * Mosaic's `tpu.dynamic_gather` is intra-vreg (128-lane) only, so a
+    VMEM-table Pallas gather kernel is not currently expressible; a manual
+    DMA-pipelined Mosaic kernel is the remaining headroom (~4x).
 """
 from __future__ import annotations
 
@@ -94,14 +99,15 @@ def deformable_sample_combine_patch(
             + rows[..., 2 * dh : 3 * dh] * a10[..., None]
             + rows[..., 3 * dh : 4 * dh] * a11[..., None]
         )  # (BH, N, dh)
-        return acc + jnp.moveaxis(s, 1, 2), None
+        return acc + jnp.moveaxis(s, 1, 2).astype(acc.dtype), None
 
-    init = jnp.zeros((bh, dh, n), dtype=v.dtype)
+    # accumulate in f32 even when the value maps are bf16
+    init = jnp.zeros((bh, dh, n), dtype=jnp.float32)
     swap = lambda t: jnp.moveaxis(t, 1, 0)  # scan over npts
     acc, _ = jax.lax.scan(
         point_step, init, tuple(map(swap, (gidx, w00, w01, w10, w11)))
     )
-    return acc
+    return acc.astype(v.dtype)
 
 
 def deformable_sample_combine_xla(
