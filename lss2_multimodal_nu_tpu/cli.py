@@ -47,7 +47,7 @@ def _build_cfg(args, family: str):
     train = TrainConfig(
         batch_size=args.bsize, lr=args.lr, weight_decay=args.wdecay,
         max_grad_norm=args.max_grad_norm, num_epochs=args.nepochs,
-        use_schedule=(family == "vovnet_transformer" and args.use_schedule),
+        use_schedule=(family in ("vovnet_transformer", "vovnet_pretrain") and args.use_schedule),
         seed=args.seed,
     )
     mesh = MeshConfig(dp=args.dp, fsdp=args.fsdp)
@@ -200,8 +200,52 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
         mname = os.path.join(cfg.logdir, f"model{epoch}")
         print("saving", mname)
         ckpt.save_params(mname, state.params, state.batch_stats)
+        if family == "vovnet_pretrain":
+            # component-wise transfer checkpoint (pre_train_vovnet.py:465-477)
+            from .models.vovnet_pretrain import PRETRAIN_COMPONENTS
+
+            ckpt.save_components(
+                os.path.join(cfg.logdir, f"components{epoch}"),
+                state.params, state.batch_stats, PRETRAIN_COMPONENTS,
+            )
         print(f"epoch time: {time.time() - t_ep:.1f}s")
     return state
+
+
+def run_predict_iou(args):
+    """BEV-only checkpoint evaluation on the pretrain val split
+    (reference predict.py:11-51, writes ./b1_20.txt-style output)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.factory import build_model
+    from .train import checkpoint as ckpt
+    from .train.state import create_train_state
+
+    cfg = _build_cfg(args, "lss")
+    _, valloader = _loaders(
+        cfg, with_txt=False, split_family="nuscenes_full", nworkers=args.nworkers
+    )
+    model = build_model(cfg)
+    sample = next(iter(valloader))
+    inputs = tuple(
+        jnp.asarray(sample[k][:1])
+        for k in ("imgs", "rots", "trans", "intrins", "post_rots", "post_trans")
+    )
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs)
+    params, batch_stats = state.params, state.batch_stats
+    if args.checkpoint:
+        print("loading", args.checkpoint)
+        params, batch_stats = ckpt.restore_params_loose(args.checkpoint, params, batch_stats)
+    info = _evaluate(cfg, model, params, batch_stats, valloader)
+    print(info["confmat_str"])
+    print("val_loss: {}".format(info["loss"]))
+    with open(args.out_file, "a") as f:
+        f.write(
+            "checkpoint:{}".format(args.checkpoint) + info["confmat_str"] + "\n"
+            + "val_loss: " + str(info["loss"]) + "\n\n"
+        )
+    return info
 
 
 def run_predict(args, family: str):
@@ -283,11 +327,14 @@ def add_common(p: argparse.ArgumentParser):
 def main(argv=None):
     parser = argparse.ArgumentParser("lss2_multimodal_nu_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("pretrain", "train", "train-onlybev", "pretrain-v2", "train-v2", "predict"):
+    for name in ("pretrain", "train", "train-onlybev", "pretrain-v2", "train-v2",
+                 "predict", "predict-iou"):
         p = sub.add_parser(name)
         add_common(p)
         if name == "predict":
             p.add_argument("--out_file", default="./test.txt")
+        if name == "predict-iou":
+            p.add_argument("--out_file", default="./b1_20.txt")
     args = parser.parse_args(argv)
 
     if args.cmd == "pretrain":
@@ -298,12 +345,14 @@ def main(argv=None):
     if args.cmd == "train-onlybev":
         return run_training(args, "bev_txt_onlybev", with_txt=True, split_family="nu_a2d")
     if args.cmd == "pretrain-v2":
-        return run_training(args, "vovnet_transformer", with_txt=True, split_family="nu_a2d")
+        return run_training(args, "vovnet_pretrain", with_txt=True, split_family="nu_a2d")
     if args.cmd == "train-v2":
         args.max_grad_norm = 10.0
         return run_training(args, "vovnet_transformer", with_txt=True, split_family="nu_a2d")
     if args.cmd == "predict":
         return run_predict(args, "bev_txt")
+    if args.cmd == "predict-iou":
+        return run_predict_iou(args)
     raise SystemExit(2)
 
 

@@ -129,6 +129,38 @@ class NuA2DDataset:
         self.scenes = create_splits_scenes(split_family)[split]
         self.ixes = self._prepro()
         self.dx, self.bx, self.nx = gen_dx_bx(grid.xbound, grid.ybound, grid.zbound)
+        self._fix_nuscenes_formatting()
+
+    def _fix_nuscenes_formatting(self):
+        """Path self-healing for sharded storage layouts
+        (reference src/data.py:33-65): if `samples/CAM_X/f.jpg` is missing,
+        look for `samples/<shard>/samples/CAM_X/f.jpg` and rewrite filenames."""
+        if not self.ixes:
+            return
+        from glob import glob
+
+        rec = self.ixes[0]
+        samp = self.nusc.get("sample_data", rec["data"][self.aug.cams[1]])
+        if os.path.isfile(os.path.join(self.nusc.dataroot, samp["filename"])):
+            return
+        print("adjusting nuscenes file paths")
+        info = {}
+        pats = [
+            os.path.join(self.nusc.dataroot, "samples/*/samples/CAM*/*.jpg"),
+            os.path.join(self.nusc.dataroot, "samples/*/samples/LIDAR_TOP/*.pcd.bin"),
+            os.path.join(self.nusc.dataroot, "sweeps/*/sweeps/LIDAR_TOP/*.pcd.bin"),
+        ]
+        for pat in pats:
+            for f in glob(pat):
+                parts = f.split(os.sep)
+                di, fi = parts[-2], parts[-1]
+                rel = os.sep.join(parts[-5:])
+                top = parts[-5]  # 'samples' or 'sweeps'
+                info[f"{top}/{di}/{fi}"] = rel
+        for sd in self.nusc.sample_data:
+            key = sd["filename"]
+            if key in info:
+                sd["filename"] = info[key]
 
     def _prepro(self) -> List[dict]:
         samples = [
@@ -185,6 +217,18 @@ class NuA2DDataset:
         map_path = os.path.join(self.dataroot, "local_binmap", rec["token"] + ".npy")
         map_np = np.load(map_path)
         map_np = np.rot90(np.fliplr(map_np), 1).astype(float)
+        if map_np.shape != img.shape:
+            # binmaps are generated offline at the canonical 200x200 grid; for
+            # non-default grids (e.g. tiny dry runs) take the ego-centred crop
+            oy = (map_np.shape[0] - img.shape[0]) // 2
+            ox = (map_np.shape[1] - img.shape[1]) // 2
+            if oy >= 0 and ox >= 0:
+                map_np = map_np[oy : oy + img.shape[0], ox : ox + img.shape[1]]
+            else:
+                pad_y, pad_x = max(-oy, 0), max(-ox, 0)
+                map_np = np.pad(map_np, ((pad_y, pad_y), (pad_x, pad_x)))[
+                    : img.shape[0], : img.shape[1]
+                ]
         img += map_np
 
         for tok in rec["anns"]:
@@ -238,3 +282,17 @@ def _rotate_quat(q_by, q):
     from .nuscenes_index import quaternion_multiply
 
     return quaternion_multiply(q_by, q)
+
+
+class VizDataset(NuA2DDataset):
+    """VizData equivalent (reference src/data.py:241-254): adds 3-sweep lidar
+    in the ego frame for visualization."""
+
+    def __getitem__(self, index: int):
+        from .lidar import get_lidar_data
+
+        out = super().__getitem__(index)
+        rec = self.ixes[index]
+        pts = get_lidar_data(self.nusc, rec, nsweeps=3, min_distance=2.2)
+        out["lidar"] = pts[:3].astype(np.float32)  # x, y, z
+        return out

@@ -133,16 +133,23 @@ def generate(
                     "camera_intrinsic": [],
                 }
             )
+            lidar_fname = f"samples/LIDAR_TOP/{samp_tok}.pcd.bin"
+            os.makedirs(os.path.join(ver_dir, "samples", "LIDAR_TOP"), exist_ok=True)
+            pts = rng.uniform(-40, 40, size=(128, 5)).astype(np.float32)
+            pts[:, 3] = rng.uniform(0, 255, 128)  # intensity
+            pts[:, 4] = 0.0  # ring
+            pts.tofile(os.path.join(ver_dir, lidar_fname))
             sample_datas.append(
                 {
                     "token": _tok("sd", fidx),
                     "sample_token": samp_tok,
                     "calibrated_sensor_token": calib_tok,
                     "ego_pose_token": ego_tok,
-                    "filename": f"samples/LIDAR_TOP/{samp_tok}.pcd.bin",
+                    "filename": lidar_fname,
                     "is_key_frame": True,
                     "fileformat": "pcd",
                     "timestamp": 1_000_000 * (i + 1),
+                    "prev": "",
                 }
             )
             fidx += 1
@@ -196,3 +203,54 @@ def generate(
     for name, rows in tables.items():
         json.dump(rows, open(os.path.join(tbl_dir, f"{name}.json"), "w"))
     return root
+
+
+def generate_map_expansion(root: str, map_name: str = "boston-seaport", seed: int = 0):
+    """Write a tiny nuScenes map-expansion JSON (nodes/polygons/lines +
+    road_segment/lane/dividers) covering [-150, 150]^2 so map_gen can run."""
+    rng = np.random.default_rng(seed)
+    nodes, polygons, lines = [], [], []
+    road_segments, lanes, road_dividers, lane_dividers = [], [], [], []
+
+    def add_node(x, y):
+        tok = _tok("node", len(nodes))
+        nodes.append({"token": tok, "x": float(x), "y": float(y)})
+        return tok
+
+    def add_rect_poly(cx, cy, w, h):
+        toks = [
+            add_node(cx - w / 2, cy - h / 2),
+            add_node(cx + w / 2, cy - h / 2),
+            add_node(cx + w / 2, cy + h / 2),
+            add_node(cx - w / 2, cy + h / 2),
+        ]
+        ptok = _tok("poly", len(polygons))
+        polygons.append({"token": ptok, "exterior_node_tokens": toks, "holes": []})
+        return ptok
+
+    for i in range(4):
+        cx, cy = rng.uniform(-120, 120, 2)
+        p = add_rect_poly(cx, cy, rng.uniform(40, 90), rng.uniform(40, 90))
+        road_segments.append({"token": _tok("rs", i), "polygon_token": p})
+    for i in range(3):
+        cx, cy = rng.uniform(-120, 120, 2)
+        p = add_rect_poly(cx, cy, rng.uniform(10, 30), rng.uniform(60, 120))
+        lanes.append({"token": _tok("lane", i), "polygon_token": p})
+    for i in range(3):
+        x0, y0 = rng.uniform(-120, 120, 2)
+        toks = [add_node(x0 + 10 * k, y0 + rng.uniform(-2, 2)) for k in range(8)]
+        ltok = _tok("line", len(lines))
+        lines.append({"token": ltok, "node_tokens": toks})
+        (road_dividers if i % 2 == 0 else lane_dividers).append(
+            {"token": _tok("div", i), "line_token": ltok}
+        )
+
+    data = {
+        "node": nodes, "polygon": polygons, "line": lines,
+        "road_segment": road_segments, "lane": lanes,
+        "road_divider": road_dividers, "lane_divider": lane_dividers,
+    }
+    out = os.path.join(root, "maps", "expansion")
+    os.makedirs(out, exist_ok=True)
+    json.dump(data, open(os.path.join(out, f"{map_name}.json"), "w"))
+    return os.path.join(out, f"{map_name}.json")

@@ -27,6 +27,10 @@ def build_model(cfg: Config):
         from .vovnet_transformer import VoVNetBEVTransformer
 
         return VoVNetBEVTransformer(cfg, dtype=dtype)
+    if family == "vovnet_pretrain":
+        from .vovnet_pretrain import VoVNetPreTrain
+
+        return VoVNetPreTrain(cfg, dtype=dtype)
     raise ValueError(f"unknown model family: {family}")
 
 

@@ -103,3 +103,15 @@ def multi_task_loss(
     )
     total = bev_weight * loss_bev + action_weight * loss_act + desc_weight * loss_desc
     return total, {"bev": loss_bev, "action": loss_act, "desc": loss_desc}
+
+
+def cross_entropy_ignore(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = 255
+) -> jnp.ndarray:
+    """torch nn.CrossEntropyLoss(ignore_index=...) — unweighted mean over
+    non-ignored pixels (reference pre_train_vovnet.py:373)."""
+    logp = jnn.log_softmax(logits, axis=-1)
+    safe = jnp.where(labels == ignore_index, 0, labels)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    mask = (labels != ignore_index).astype(logits.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

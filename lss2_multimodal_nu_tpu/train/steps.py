@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .losses import multi_loss, multi_task_loss, simple_loss
+from .losses import cross_entropy_ignore, multi_loss, multi_task_loss, simple_loss
 from .metrics import confusion_matrix_update
 from .state import TrainState
 
@@ -40,6 +40,9 @@ def _compute_loss(cfg: Config, out, batch: Batch):
     family = cfg.model.family
     if family == "lss":
         loss = simple_loss(out, batch["binimg"])
+        return loss, {"loss": loss}
+    if family == "vovnet_pretrain":
+        loss = cross_entropy_ignore(out, batch["binimg"])
         return loss, {"loss": loss}
     if family in ("bev_txt", "bev_txt_onlybev"):
         bev, act, desc = out
@@ -82,7 +85,7 @@ def optax_global_norm(tree) -> jnp.ndarray:
 
 def make_eval_step(cfg: Config, model):
     num_classes = cfg.model.seg_classes
-    multitask = cfg.model.family != "lss"
+    multitask = cfg.model.family not in ("lss", "vovnet_pretrain")
 
     @jax.jit
     def eval_step(params, batch_stats, batch: Batch, confmat):

@@ -1,0 +1,126 @@
+"""Aux subsystems: map GT generation, lidar sweeps, viz, profiling, logging."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lss2_multimodal_nu_tpu.config import AugConfig, GridConfig
+from lss2_multimodal_nu_tpu.core.grid import gen_dx_bx
+from lss2_multimodal_nu_tpu.data.nuscenes_index import NuScenesIndex
+from lss2_multimodal_nu_tpu.data.synthetic import generate, generate_map_expansion
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("aux_fixture"))
+    generate(root, samples_per_scene=2)
+    generate_map_expansion(root)
+    return root
+
+
+def test_map_gen_binmaps(fixture_root):
+    from lss2_multimodal_nu_tpu.data.map_gen import generate_binmaps
+
+    nusc = NuScenesIndex("v1.0-mini", fixture_root)
+    grid = GridConfig()
+    dx, bx, _ = gen_dx_bx(grid.xbound, grid.ybound, grid.zbound)
+    out = os.path.join(fixture_root, "binmap_regen")
+    scene_to_map = {
+        nusc.get("scene", s["scene_token"])["name"]: "boston-seaport"
+        for s in nusc.sample
+    }
+    n = generate_binmaps(nusc, fixture_root, scene_to_map, out, dx, bx)
+    assert n == len(nusc.sample)
+    m = np.load(os.path.join(out, nusc.sample[0]["token"] + ".npy"))
+    assert m.shape == (200, 200)
+    assert set(np.unique(m)) <= {0, 2, 3}
+
+
+def test_lidar_sweeps(fixture_root):
+    from lss2_multimodal_nu_tpu.data.lidar import get_lidar_data
+
+    nusc = NuScenesIndex("v1.0-mini", fixture_root)
+    pts = get_lidar_data(nusc, nusc.sample[0], nsweeps=3, min_distance=2.2)
+    assert pts.shape[0] == 5
+    assert pts.shape[1] > 0
+    # dt channel of the (only) sweep is 0
+    np.testing.assert_allclose(pts[4], 0.0)
+    # min-distance filter applied
+    assert not np.any((np.abs(pts[0]) < 2.2) & (np.abs(pts[1]) < 2.2))
+
+
+def test_viz_dataset(fixture_root):
+    from lss2_multimodal_nu_tpu.data.dataset import VizDataset
+
+    nusc = NuScenesIndex("v1.0-mini", fixture_root)
+    ds = VizDataset(
+        nusc, is_train=False, aug=AugConfig(H=90, W=160), grid=GridConfig(),
+        data_root=fixture_root,
+    )
+    item = ds[0]
+    assert "lidar" in item and item["lidar"].shape[0] == 3
+
+
+def test_bev_viz(tmp_path):
+    from lss2_multimodal_nu_tpu.utils.visualize import bev_to_rgb, save_bev_png, side_by_side
+
+    grid = GridConfig()
+    dx, bx, _ = gen_dx_bx(grid.xbound, grid.ybound, grid.zbound)
+    rng = np.random.default_rng(0)
+    bev = rng.integers(0, 4, size=(200, 200))
+    img = bev_to_rgb(bev, True, bx, dx)
+    assert img.shape == (200, 200, 3)
+    # ego footprint painted
+    assert (img == [118, 185, 0]).all(-1).sum() > 0
+    save_bev_png(str(tmp_path / "bev.png"), bev, bx, dx)
+    assert (tmp_path / "bev.png").exists()
+    sbs = side_by_side(bev, bev)
+    assert sbs.shape == (200, 404, 3)
+
+
+def test_step_timer_and_logger(tmp_path):
+    import time
+
+    from lss2_multimodal_nu_tpu.utils.logging import MetricLogger
+    from lss2_multimodal_nu_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(frames_per_step=4)
+    for _ in range(3):
+        with t.step():
+            time.sleep(0.01)
+    s = t.summary()
+    assert s["steps"] == 3 and s["mean_ms"] >= 10
+    assert s["frames_per_sec"] > 0
+
+    lg = MetricLogger(str(tmp_path), "testrun")
+    lg.log(1, {"loss": 1.5})
+    lg.log(2, {"loss": 1.2})
+    lg.close()
+    lines = open(tmp_path / "testrun.jsonl").read().strip().splitlines()
+    assert len(lines) == 2 and json.loads(lines[0])["loss"] == 1.5
+    assert (tmp_path / "testrun.csv").exists()
+
+
+def test_path_self_healing(tmp_path):
+    """Sharded layout samples/<shard>/samples/CAM_X/… is auto-fixed."""
+    import shutil
+
+    from lss2_multimodal_nu_tpu.data.dataset import NuA2DDataset
+
+    root = str(tmp_path / "sharded")
+    generate(root, samples_per_scene=2)
+    # move images into a shard subdir
+    src = os.path.join(root, "samples")
+    shard = os.path.join(root, "samples_tmp", "shard1", "samples")
+    os.makedirs(os.path.dirname(shard), exist_ok=True)
+    shutil.move(src, shard)
+    shutil.move(os.path.join(root, "samples_tmp"), os.path.join(root, "samples"))
+    # i.e. now root/samples/shard1/samples/CAM_*/...
+    nusc = NuScenesIndex("v1.0-mini", root)
+    ds = NuA2DDataset(
+        nusc, is_train=True, aug=AugConfig(H=90, W=160), grid=GridConfig(),
+        data_root=root, rng=np.random.default_rng(0),
+    )
+    item = ds[0]  # would raise FileNotFoundError without healing
+    assert item["imgs"].shape == (6, 128, 352, 3)
