@@ -74,6 +74,32 @@ def get_geometry(
     return pts + trans[:, :, None, None, None, :]
 
 
+def ego_to_cam(points, rot, trans, intrins):
+    """Ego-frame points (3, N) -> pinhole camera (reference tools.py:78-87):
+    returns (u*z', v*z' normalized to (u, v, z'))."""
+    pts = points - trans[:, None]
+    pts = rot.T @ pts
+    pts = intrins @ pts
+    return jnp.concatenate([pts[:2] / pts[2:3], pts[2:3]], axis=0)
+
+
+def cam_to_ego(points, rot, trans, intrins):
+    """Pinhole (u, v, depth) points (3, N) -> ego frame (tools.py:90-100)."""
+    pts = jnp.concatenate([points[:2] * points[2:3], points[2:3]], axis=0)
+    pts = invert_3x3(intrins) @ pts
+    pts = rot @ pts
+    return pts + trans[:, None]
+
+
+def get_only_in_img_mask(pts, h, w):
+    """Visibility mask for projected points (3, N) (tools.py:103-108)."""
+    return (
+        (pts[2] > 0)
+        & (pts[0] > 1) & (pts[0] < w - 1)
+        & (pts[1] > 1) & (pts[1] < h - 1)
+    )
+
+
 def voxel_indices(
     geom: jnp.ndarray,
     dx: np.ndarray,

@@ -119,7 +119,18 @@ class NuA2DDataset:
         self.grid = grid
         self.dataroot = data_root
         self.with_txt = with_txt
-        self.rng = rng or np.random.default_rng()
+        # Augmentation randomness: np.random.Generator is NOT thread-safe and
+        # the loader uses threads, so we derive a fresh per-item generator
+        # from (seed, epoch, index). seed=None keeps the reference's
+        # intentional OS-entropy non-determinism (train.py:47 reseeds each
+        # epoch); passing an rng/seed gives reproducible augmentation.
+        if rng is None:
+            self._seed = None
+        elif isinstance(rng, (int, np.integer)):
+            self._seed = int(rng)
+        else:
+            self._seed = int(rng.integers(0, 2**31 - 1))
+        self._epoch = 0
 
         if split is None:
             split = {
@@ -130,6 +141,15 @@ class NuA2DDataset:
         self.ixes = self._prepro()
         self.dx, self.bx, self.nx = gen_dx_bx(grid.xbound, grid.ybound, grid.zbound)
         self._fix_nuscenes_formatting()
+
+    def set_epoch(self, epoch: int):
+        """Advance the augmentation stream (called by the loader per epoch)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        if self._seed is None:
+            return np.random.default_rng()
+        return np.random.default_rng((self._seed, self._epoch, index))
 
     def _fix_nuscenes_formatting(self):
         """Path self-healing for sharded storage layouts
@@ -174,7 +194,8 @@ class NuA2DDataset:
     def __len__(self) -> int:
         return len(self.ixes)
 
-    def get_image_data(self, rec: dict, cams: Sequence[str]):
+    def get_image_data(self, rec: dict, cams: Sequence[str], rng=None):
+        rng = rng if rng is not None else np.random.default_rng()
         imgs, rots, trans, intrins, post_rots, post_trans = [], [], [], [], [], []
         for cam in cams:
             samp = self.nusc.get("sample_data", rec["data"][cam])
@@ -184,7 +205,7 @@ class NuA2DDataset:
             rot = quaternion_rotation_matrix(sens["rotation"]).astype(np.float32)
             tran = np.asarray(sens["translation"], dtype=np.float32)
 
-            params = sample_augmentation(self.aug, self.is_train, self.rng)
+            params = sample_augmentation(self.aug, self.is_train, rng)
             img, pr2, pt2 = img_transform(img, params)
             pr3, pt3 = expand_to_3x3(pr2, pt2)
 
@@ -259,7 +280,7 @@ class NuA2DDataset:
         rec = self.ixes[index]
         assert self.aug.ncams == 6  # reference data.py:229
         imgs, rots, trans, intrins, post_rots, post_trans = self.get_image_data(
-            rec, self.aug.cams
+            rec, self.aug.cams, self._item_rng(index)
         )
         out = {
             "imgs": imgs,

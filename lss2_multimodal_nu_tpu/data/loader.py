@@ -56,6 +56,8 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices()
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

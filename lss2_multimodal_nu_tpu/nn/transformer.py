@@ -115,9 +115,9 @@ class DeformableAttention(nn.Module):
 
         out = deformable_sample_combine(
             v_cm, locs_h, attn_h, h, w, impl=self.sampling_impl
-        )  # (B*nh, dh, N)
-        out = out.reshape(b, nh, dh, n)
-        out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, n, c)
+        )  # (B*nh, N, dh)
+        out = out.reshape(b, nh, n, dh)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
         return nn.Dense(
             c,
             kernel_init=nn.initializers.xavier_uniform(),

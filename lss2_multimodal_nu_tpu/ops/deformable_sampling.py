@@ -65,7 +65,8 @@ def deformable_sample_combine_patch(
     h: int,
     w: int,
 ) -> jnp.ndarray:
-    """Returns (BH, dh, N): attention-weighted bilinear samples."""
+    """Returns (BH, N, dh): attention-weighted bilinear samples. (N-major
+    output avoids a 164MB transpose per scan step.)"""
     bh, dh, hw = v.shape
     npts, n = locs.shape[1], locs.shape[2]
     tab = _build_patch_table(v, h, w)
@@ -89,6 +90,10 @@ def deformable_sample_combine_patch(
     w10 = wy * (1 - wx) * attn
     w11 = wy * wx * attn
 
+    # remat: without it, scan AD saves every step's gathered rows
+    # ((BH, N, 4dh) x npts ~ 10 GB at B=8) as residuals; recomputing the
+    # gather in backward costs one extra gather pass and saves all of it.
+    @jax.checkpoint
     def point_step(acc, args):
         gi, a00, a01, a10, a11 = args  # each (BH, N)
         rows = tab.at[gi.reshape(-1)].get(mode="promise_in_bounds")
@@ -99,10 +104,10 @@ def deformable_sample_combine_patch(
             + rows[..., 2 * dh : 3 * dh] * a10[..., None]
             + rows[..., 3 * dh : 4 * dh] * a11[..., None]
         )  # (BH, N, dh)
-        return acc + jnp.moveaxis(s, 1, 2).astype(acc.dtype), None
+        return acc + s.astype(acc.dtype), None
 
     # accumulate in f32 even when the value maps are bf16
-    init = jnp.zeros((bh, dh, n), dtype=jnp.float32)
+    init = jnp.zeros((bh, n, dh), dtype=jnp.float32)
     swap = lambda t: jnp.moveaxis(t, 1, 0)  # scan over npts
     acc, _ = jax.lax.scan(
         point_step, init, tuple(map(swap, (gidx, w00, w01, w10, w11)))
@@ -129,14 +134,14 @@ def deformable_sample_combine_xla(
         s = grid_sample_bilinear(
             vmap_img, jnp.moveaxis(grid, 1, 2).reshape(bh, m * npts, 2)
         ).reshape(bh, m, npts, dh)
-        return jnp.einsum("bpm,bmpd->bdm", a, s)
+        return jnp.einsum("bpm,bmpd->bmd", a, s)
 
     if n > query_chunk and n % query_chunk == 0:
         k = n // query_chunk
         ls = jnp.moveaxis(locs.reshape(bh, npts, k, query_chunk, 2), 2, 0)
         as_ = jnp.moveaxis(attn.reshape(bh, npts, k, query_chunk), 2, 0)
-        out = jax.lax.map(lambda t: combine(*t), (ls, as_))  # (k, bh, dh, m)
-        return jnp.moveaxis(out, 0, 2).reshape(bh, dh, n)
+        out = jax.lax.map(lambda t: combine(*t), (ls, as_))  # (k, bh, m, dh)
+        return jnp.moveaxis(out, 0, 1).reshape(bh, n, dh)
     return combine(locs, attn)
 
 

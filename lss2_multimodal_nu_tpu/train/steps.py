@@ -58,7 +58,9 @@ def _compute_loss(cfg: Config, out, batch: Batch):
 
 
 def make_train_step(cfg: Config, model):
-    @jax.jit
+    # donate the input state: params/opt_state buffers are reused in place,
+    # halving state memory pressure (matters at 200x200 BEV batch sizes)
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch: Batch, rng) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(rng, state.step)
 

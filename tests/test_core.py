@@ -164,3 +164,20 @@ def test_sample_augmentation_train_in_range():
         assert aug.rot_lim[0] <= p.rotate <= aug.rot_lim[1]
         w0, h0, w1, h1 = p.crop
         assert (w1 - w0, h1 - h0) == (352, 128)
+
+
+def test_ego_cam_roundtrip():
+    from lss2_multimodal_nu_tpu.core.geometry import cam_to_ego, ego_to_cam, get_only_in_img_mask
+
+    rng = np.random.default_rng(7)
+    intr = np.array([[1266.0, 0, 800.0], [0, 1266.0, 450.0], [0, 0, 1.0]], np.float32)
+    rot = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+    trans = rng.normal(size=3).astype(np.float32)
+    cam_pts = np.stack(
+        [rng.uniform(100, 1500, 50), rng.uniform(100, 800, 50), rng.uniform(2, 40, 50)]
+    ).astype(np.float32)
+    ego = cam_to_ego(jnp.asarray(cam_pts), jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(intr))
+    back = ego_to_cam(ego, jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(intr))
+    np.testing.assert_allclose(np.asarray(back), cam_pts, rtol=1e-2, atol=2e-2)
+    mask = get_only_in_img_mask(back, 900, 1600)
+    assert bool(np.asarray(mask).all())

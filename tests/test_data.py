@@ -142,3 +142,19 @@ def test_eval_aug_is_deterministic(fixture_root):
     a, b = ds[0], ds[0]
     np.testing.assert_array_equal(a["imgs"], b["imgs"])
     np.testing.assert_array_equal(a["post_rots"], b["post_rots"])
+
+
+def test_train_aug_seeded_reproducible(fixture_root):
+    from lss2_multimodal_nu_tpu.data.nuscenes_index import NuScenesIndex
+
+    nusc = NuScenesIndex("v1.0-mini", fixture_root)
+    kw = dict(is_train=True, aug=AugConfig(H=90, W=160, rand_flip=True),
+              grid=GridConfig(), data_root=fixture_root)
+    a = NuA2DDataset(nusc, rng=np.random.default_rng(5), **kw)
+    b = NuA2DDataset(nusc, rng=np.random.default_rng(5), **kw)
+    np.testing.assert_array_equal(a[0]["imgs"], b[0]["imgs"])
+    # different epoch -> different augmentation
+    b.set_epoch(1)
+    assert not np.array_equal(a[0]["post_rots"], b[0]["post_rots"]) or not np.array_equal(
+        a[0]["post_trans"], b[0]["post_trans"]
+    )

@@ -31,7 +31,7 @@ def _torch_oracle(v, locs, attn, h, w):
     ).squeeze(-1)  # (bh, dh, npts*n)
     s = s.reshape(bh, dh, npts, n)
     a = torch.from_numpy(attn)  # (bh, npts, n)
-    return torch.einsum("bdpn,bpn->bdn", s, a).numpy()
+    return torch.einsum("bdpn,bpn->bnd", s, a).numpy()
 
 
 def test_xla_path_matches_torch():
@@ -69,3 +69,23 @@ def test_patch_matches_xla_chunked():
         jnp.asarray(v), jnp.asarray(locs), jnp.asarray(attn), h, w, query_chunk=100
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_patch_gradients_with_remat():
+    """Backward through the rematerialized scan: finite grads that match the
+    XLA path's gradients."""
+    v, locs, attn, h, w = _case(seed=3, bh=2, dh=4, h=6, w=8, npts=2)
+    locs = np.clip(locs, 0.0, 1.0)
+
+    def loss_patch(v_):
+        out = deformable_sample_combine_patch(v_, jnp.asarray(locs), jnp.asarray(attn), h, w)
+        return jnp.sum(out**2)
+
+    def loss_xla(v_):
+        out = deformable_sample_combine_xla(v_, jnp.asarray(locs), jnp.asarray(attn), h, w)
+        return jnp.sum(out**2)
+
+    g1 = jax.jit(jax.grad(loss_patch))(jnp.asarray(v))
+    g2 = jax.jit(jax.grad(loss_xla))(jnp.asarray(v))
+    assert np.isfinite(np.asarray(g1)).all()
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)

@@ -73,13 +73,16 @@ def test_sharded_train_step_runs_and_matches(dp, fsdp):
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), tuple(x[:1] for x in inputs))
     step = make_train_step(cfg, model)
 
+    # the step donates its input state, so build an independent, identically
+    # initialized state for the sharded run
+    state2 = create_train_state(cfg, model, jax.random.PRNGKey(0), tuple(x[:1] for x in inputs))
+    mesh = make_mesh(cfg)
+    state_sh = shard_state(mesh, state2)
+    batch_sh = shard_batch(mesh, batch)
+
     # single-device (replicated-on-one) result
     s_ref, m_ref = step(state, batch, jax.random.PRNGKey(7))
     loss_ref = float(m_ref["loss"])
-
-    mesh = make_mesh(cfg)
-    state_sh = shard_state(mesh, state)
-    batch_sh = shard_batch(mesh, batch)
     s_out, m_out = step(state_sh, batch_sh, jax.random.PRNGKey(7))
     loss_sh = float(m_out["loss"])
 

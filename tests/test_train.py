@@ -177,16 +177,19 @@ def test_train_step_lss_tiny():
         binimg=jnp.asarray(rng.integers(0, 4, size=(1, 200, 200))),
     )
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs)
+    # the train step donates its input state: snapshot values first
+    params0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.params)
+    stats0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.batch_stats)
     step = make_train_step(cfg, model)
     s1, m1 = step(state, batch, jax.random.PRNGKey(1))
     s2, m2 = step(s1, batch, jax.random.PRNGKey(1))
     assert int(s2.step) == 2
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     # params actually changed
-    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params)
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), params0, s2.params)
     assert max(jax.tree_util.tree_leaves(d)) > 0
     # batch stats updated
-    bs = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), state.batch_stats, s2.batch_stats)
+    bs = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), stats0, s2.batch_stats)
     assert max(jax.tree_util.tree_leaves(bs)) > 0
 
     ev = make_eval_step(cfg, model)
