@@ -24,10 +24,12 @@ def main():
     from lss2_multimodal_nu_tpu.models.factory import build_model
     from __graft_entry__ import _fake_inputs
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    family = sys.argv[2] if len(sys.argv) > 2 else "vovnet_transformer"
     cfg = Config(
         model=ModelConfig(
-            family="vovnet_transformer", vovnet_type="vovnet39", lss_version="v2"
+            family=family, vovnet_type="vovnet39", lss_version="v2",
+            effnet_variant="b4",
         )
     )
     model = build_model(cfg)
@@ -36,12 +38,10 @@ def main():
 
     @jax.jit
     def fwd_probe(v, *args):
-        bev, act, desc = model.apply(v, *args)
-        return (
-            jnp.sum(bev.astype(jnp.float32))
-            + jnp.sum(act.astype(jnp.float32))
-            + jnp.sum(desc.astype(jnp.float32))
-        )
+        out = model.apply(v, *args)
+        if not isinstance(out, tuple):
+            out = (out,)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
 
     float(fwd_probe(variables, *batches[0]))  # compile + warm
     t0 = time.time()

@@ -57,7 +57,8 @@ def _build_cfg(args, family: str):
     )
 
 
-def _loaders(cfg, with_txt: bool, split_family: str, test: bool = False, nworkers: int = 8):
+def _loaders(cfg, with_txt: bool, split_family: str, test: bool = False, nworkers: int = 8,
+             nondet_aug: bool = False):
     from .data.dataset import NuA2DDataset
     from .data.loader import DataLoader
     from .data.nuscenes_index import NuScenesIndex
@@ -75,7 +76,8 @@ def _loaders(cfg, with_txt: bool, split_family: str, test: bool = False, nworker
                           num_workers=nworkers)
     tr = NuA2DDataset(
         nusc, is_train=True,
-        rng=np.random.default_rng(cfg.train.seed), **common,
+        rng=None if nondet_aug else np.random.default_rng(cfg.train.seed),
+        **common,
     )
     va = NuA2DDataset(nusc, is_train=False, **common)
     return (
@@ -141,7 +143,8 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
 
     cfg = _build_cfg(args, family)
     os.makedirs(cfg.logdir, exist_ok=True)
-    trainloader, valloader = _loaders(cfg, with_txt, split_family, nworkers=args.nworkers)
+    trainloader, valloader = _loaders(cfg, with_txt, split_family, nworkers=args.nworkers,
+                                  nondet_aug=args.nondeterministic_aug)
 
     model = build_model(cfg)
     sample = next(iter(trainloader))
@@ -299,6 +302,8 @@ def add_common(p: argparse.ArgumentParser):
     p.add_argument("--log_every", default=200, type=int)
     p.add_argument("--results_file", default="result.txt")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--nondeterministic_aug", action="store_true",
+                   help="reference-compat OS-entropy augmentation (train.py:47)")
     # grid/aug (reference train.py:116-127)
     p.add_argument("--xbound", nargs=3, type=float, default=[-50.0, 50.0, 0.5])
     p.add_argument("--ybound", nargs=3, type=float, default=[-50.0, 50.0, 0.5])

@@ -90,28 +90,28 @@ def deformable_sample_combine_patch(
     w10 = wy * (1 - wx) * attn
     w11 = wy * wx * attn
 
-    # remat: without it, scan AD saves every step's gathered rows
+    # Unrolled over the npts points (9% faster than lax.scan: no loop state
+    # machine, XLA fuses each gather+weight+add chain). jax.checkpoint on the
+    # per-point body: without it AD saves every point's gathered rows
     # ((BH, N, 4dh) x npts ~ 10 GB at B=8) as residuals; recomputing the
     # gather in backward costs one extra gather pass and saves all of it.
     @jax.checkpoint
-    def point_step(acc, args):
-        gi, a00, a01, a10, a11 = args  # each (BH, N)
+    def point_sample(gi, a00, a01, a10, a11):
         rows = tab.at[gi.reshape(-1)].get(mode="promise_in_bounds")
         rows = rows.reshape(bh, n, 4 * dh)
-        s = (
+        return (
             rows[..., 0 * dh : 1 * dh] * a00[..., None]
             + rows[..., 1 * dh : 2 * dh] * a01[..., None]
             + rows[..., 2 * dh : 3 * dh] * a10[..., None]
             + rows[..., 3 * dh : 4 * dh] * a11[..., None]
         )  # (BH, N, dh)
-        return acc + s.astype(acc.dtype), None
 
     # accumulate in f32 even when the value maps are bf16
-    init = jnp.zeros((bh, n, dh), dtype=jnp.float32)
-    swap = lambda t: jnp.moveaxis(t, 1, 0)  # scan over npts
-    acc, _ = jax.lax.scan(
-        point_step, init, tuple(map(swap, (gidx, w00, w01, w10, w11)))
-    )
+    acc = jnp.zeros((bh, n, dh), dtype=jnp.float32)
+    for p in range(npts):
+        acc = acc + point_sample(
+            gidx[:, p], w00[:, p], w01[:, p], w10[:, p], w11[:, p]
+        ).astype(acc.dtype)
     return acc.astype(v.dtype)
 
 
