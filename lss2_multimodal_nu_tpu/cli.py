@@ -285,16 +285,17 @@ def run_predict(args, family: str):
     return info
 
 
-def add_common(p: argparse.ArgumentParser):
+def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-8,
+               bsize: int = 6, max_grad_norm: float = 5.0, nepochs: int = 50):
     p.add_argument("--version", default="trainval", choices=["trainval", "mini"])
     p.add_argument("--dataroot", default="/data/nu-A2D")
-    p.add_argument("--nepochs", default=50, type=int)
+    p.add_argument("--nepochs", default=nepochs, type=int)
     p.add_argument("--logdir", default="./result-log/")
-    p.add_argument("--bsize", default=6, type=int)
+    p.add_argument("--bsize", default=bsize, type=int)
     p.add_argument("--nworkers", default=10, type=int)
-    p.add_argument("--lr", default=1e-4, type=float)
-    p.add_argument("--wdecay", default=1e-8, type=float)
-    p.add_argument("--max_grad_norm", default=5.0, type=float)
+    p.add_argument("--lr", default=lr, type=float)
+    p.add_argument("--wdecay", default=wdecay, type=float)
+    p.add_argument("--max_grad_norm", default=max_grad_norm, type=float)
     p.add_argument("--checkpoint", default="")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seg_classes", default=4, type=int)
@@ -332,10 +333,21 @@ def add_common(p: argparse.ArgumentParser):
 def main(argv=None):
     parser = argparse.ArgumentParser("lss2_multimodal_nu_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
+    # per-script defaults (pre_train.py:101-102, pre_train_vovnet.py:306-308,
+    # train_vovnet_transformer.py:392-393, train.py:108-111)
+    DEFAULTS = {
+        "pretrain": dict(lr=1e-3, wdecay=1e-7),
+        "pretrain-v2": dict(lr=1e-4, wdecay=1e-8, bsize=12, nepochs=60),
+        "train-v2": dict(lr=1e-4, wdecay=1e-8, bsize=8, max_grad_norm=10.0, nepochs=60),
+        # reference predict.py:111 evaluates at batch 1 (nothing dropped by
+        # drop_last -> exact split coverage)
+        "predict": dict(bsize=1),
+        "predict-iou": dict(bsize=1),
+    }
     for name in ("pretrain", "train", "train-onlybev", "pretrain-v2", "train-v2",
                  "predict", "predict-iou"):
         p = sub.add_parser(name)
-        add_common(p)
+        add_common(p, **DEFAULTS.get(name, {}))
         if name == "predict":
             p.add_argument("--out_file", default="./test.txt")
         if name == "predict-iou":
@@ -343,7 +355,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cmd == "pretrain":
-        args.lr, args.wdecay = (args.lr if args.lr != 1e-4 else 1e-3), 1e-7
         return run_training(args, "lss", with_txt=False, split_family="nuscenes_full")
     if args.cmd == "train":
         return run_training(args, "bev_txt", with_txt=True, split_family="nu_a2d")
@@ -352,7 +363,6 @@ def main(argv=None):
     if args.cmd == "pretrain-v2":
         return run_training(args, "vovnet_pretrain", with_txt=True, split_family="nu_a2d")
     if args.cmd == "train-v2":
-        args.max_grad_norm = 10.0
         return run_training(args, "vovnet_transformer", with_txt=True, split_family="nu_a2d")
     if args.cmd == "predict":
         return run_predict(args, "bev_txt")

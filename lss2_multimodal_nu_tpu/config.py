@@ -74,7 +74,7 @@ class AugConfig:
 class ModelConfig:
     """Model-family selection and architecture knobs."""
 
-    # 'lss' | 'bev_txt' | 'bev_txt_onlybev' | 'vovnet_transformer'
+    # 'lss' | 'bev_txt' | 'bev_txt_onlybev' | 'vovnet_transformer' | 'vovnet_pretrain'
     family: str = "lss"
     seg_classes: int = 4
     cam_channels: int = 64  # stack A camC (reference model_baseline.py:25)
@@ -153,8 +153,12 @@ def preset(name: str) -> Config:
         )
     if name == "pretrain_v2":  # reference pre_train_vovnet.py
         return Config(
-            model=ModelConfig(family="vovnet_transformer", lss_version="v2"),
-            train=TrainConfig(batch_size=12, lr=1e-4, weight_decay=1e-7),
+            model=ModelConfig(family="vovnet_pretrain", lss_version="v2"),
+            train=TrainConfig(
+                batch_size=12, lr=1e-4,
+                weight_decay=1e-8,  # "Paper: 1e-8" pre_train_vovnet.py:309
+                num_epochs=60, use_schedule=True,
+            ),
             aug=AugConfig(rand_flip=True),
         )
     if name == "train_v2":  # reference train_vovnet_transformer.py (V3 default)
@@ -163,7 +167,7 @@ def preset(name: str) -> Config:
             train=TrainConfig(
                 batch_size=8,
                 lr=1e-4,
-                weight_decay=1e-4,
+                weight_decay=1e-8,  # "Paper: 1e-8" train_vovnet_transformer.py:393
                 max_grad_norm=10.0,
                 num_epochs=60,
                 use_schedule=True,

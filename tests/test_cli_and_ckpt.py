@@ -85,3 +85,29 @@ def test_latest_checkpoint(tmp_path):
         os.makedirs(tmp_path / f"model{e}")
     assert ckpt.latest_checkpoint(str(tmp_path)).endswith("model11")
     assert ckpt.latest_checkpoint(str(tmp_path / "missing")) is None
+
+
+def test_cli_defaults_match_reference_scripts():
+    """Lock in per-script defaults (pre_train.py:96-102,
+    pre_train_vovnet.py:306-310, train_vovnet_transformer.py:41-42,392-393,
+    train.py:108-111, predict.py bsize=1)."""
+    import unittest.mock as mock
+
+    from lss2_multimodal_nu_tpu import cli
+
+    def parse(cmd):
+        with mock.patch.object(cli, "run_training", lambda args, *a, **k: args), \
+             mock.patch.object(cli, "run_predict", lambda args, *a, **k: args), \
+             mock.patch.object(cli, "run_predict_iou", lambda args, *a, **k: args):
+            return cli.main([cmd, "--dataroot", "/x"])
+
+    a = parse("pretrain")
+    assert (a.lr, a.wdecay) == (1e-3, 1e-7)
+    a = parse("train")
+    assert (a.lr, a.wdecay, a.bsize, a.max_grad_norm) == (1e-4, 1e-8, 6, 5.0)
+    a = parse("pretrain-v2")
+    assert (a.lr, a.wdecay, a.bsize, a.nepochs) == (1e-4, 1e-8, 12, 60)
+    a = parse("train-v2")
+    assert (a.wdecay, a.bsize, a.max_grad_norm, a.nepochs) == (1e-8, 8, 10.0, 60)
+    a = parse("predict")
+    assert a.bsize == 1
