@@ -161,10 +161,16 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
         p, bs = ckpt.restore_params_loose(args.checkpoint, state.params, state.batch_stats)
         state = state.replace(params=p, batch_stats=bs)
     elif args.resume:
-        latest = ckpt.latest_checkpoint(cfg.logdir)
-        if latest:
+        latest = os.path.join(cfg.logdir, "state_latest")
+        if os.path.isdir(latest):
             print("resuming from", latest)
             state = ckpt.restore_train_state(latest, state)
+        else:
+            pl = ckpt.latest_checkpoint(cfg.logdir)
+            if pl:  # params-only fallback (no optimizer state)
+                print("warm-starting params from", pl)
+                p_, bs_ = ckpt.restore_params_loose(pl, state.params, state.batch_stats)
+                state = state.replace(params=p_, batch_stats=bs_)
 
     mesh = None
     if cfg.mesh.dp * cfg.mesh.fsdp > 1:
@@ -174,6 +180,7 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
     step = make_train_step(cfg, model)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     counter = 0
+    preempt = ckpt.PreemptionHandler()
     results_txt = os.path.join(cfg.logdir, args.results_file)
     metrics_jsonl = os.path.join(cfg.logdir, "metrics.jsonl")
     for epoch in range(cfg.train.num_epochs):
@@ -203,6 +210,13 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
         mname = os.path.join(cfg.logdir, f"model{epoch}")
         print("saving", mname)
         ckpt.save_params(mname, state.params, state.batch_stats)
+        # full resumable state (scheme 3), overwritten each epoch
+        ckpt.save_train_state(
+            os.path.join(cfg.logdir, "state_latest"), state, {"epoch": epoch}
+        )
+        if preempt.should_stop():
+            print("preemption signal received — saved, exiting cleanly")
+            return state
         if family == "vovnet_pretrain":
             # component-wise transfer checkpoint (pre_train_vovnet.py:465-477)
             from .models.vovnet_pretrain import PRETRAIN_COMPONENTS

@@ -121,6 +121,55 @@ def restore_train_state(path: str, state: TrainState) -> TrainState:
     )
 
 
+class AsyncSaver:
+    """Async checkpointing (SURVEY §5: Orbax async save) — the save runs in a
+    background thread while training continues; `wait()` before exit."""
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save_params(self, path: str, params: Any, batch_stats: Any):
+        self._ckptr.save(
+            os.path.abspath(path),
+            {"params": _to_host(params), "batch_stats": _to_host(batch_stats)},
+            force=True,
+        )
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    def close(self):
+        self.wait()
+        self._ckptr.close()
+
+
+class PreemptionHandler:
+    """SIGTERM-aware emergency checkpointing (the reference has no recovery
+    path beyond a manual --checkpoint flag, train.py:37-39). Register once;
+    call `should_stop()` in the epoch loop and save before exiting."""
+
+    def __init__(self):
+        import signal
+        import threading
+
+        self._flag = threading.Event()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev = signal.getsignal(sig)
+
+                def handler(signum, frame, _prev=prev):
+                    self._flag.set()
+                    if callable(_prev):
+                        _prev(signum, frame)
+
+                signal.signal(sig, handler)
+            except (ValueError, OSError):  # non-main thread etc.
+                pass
+
+    def should_stop(self) -> bool:
+        return self._flag.is_set()
+
+
 def latest_checkpoint(logdir: str, prefix: str = "model") -> Optional[str]:
     """Auto-restore-latest helper (the reference has none — recovery is a
     manual --checkpoint flag, train.py:37-39)."""

@@ -111,3 +111,24 @@ def test_cli_defaults_match_reference_scripts():
     assert (a.wdecay, a.bsize, a.max_grad_norm, a.nepochs) == (1e-8, 8, 10.0, 60)
     a = parse("predict")
     assert a.bsize == 1
+
+
+def test_async_saver_roundtrip(tmp_path):
+    saver = ckpt.AsyncSaver()
+    params = {"w": jnp.arange(4.0)}
+    path = str(tmp_path / "async_ck")
+    saver.save_params(path, params, {})
+    saver.wait()
+    tree = ckpt.load_tree(path)
+    np.testing.assert_array_equal(np.asarray(tree["params"]["w"]), np.arange(4.0))
+    saver.close()
+
+
+def test_preemption_handler(tmp_path):
+    import os
+    import signal
+
+    h = ckpt.PreemptionHandler()
+    assert not h.should_stop()
+    os.kill(os.getpid(), signal.SIGTERM)
+    assert h.should_stop()
