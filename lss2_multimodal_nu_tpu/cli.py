@@ -100,6 +100,10 @@ def _evaluate(cfg, model, params, batch_stats, loader, mesh=None):
     total_loss, total_n = 0.0, 0
     acts_t, acts_p, descs_t, descs_p = [], [], [], []
     for batch in loader:
+        if mesh is not None:
+            from .parallel.mesh import shard_batch
+
+            batch = shard_batch(mesh, batch)
         res = ev(params, batch_stats, batch, confmat)
         confmat = res["confmat"]
         bs = int(res["bsize"])
@@ -110,6 +114,11 @@ def _evaluate(cfg, model, params, batch_stats, loader, mesh=None):
             descs_p.append(np.asarray(res["desc_pred"]))
             acts_t.append(np.asarray(batch["act"]))
             descs_t.append(np.asarray(batch["desc"]))
+    if total_n == 0:
+        print(
+            "[eval] WARNING: no evaluation batches (val set smaller than the "
+            "batch size with drop_last=True) — metrics will be NaN"
+        )
     out = {
         "confmat": np.asarray(confmat),
         "loss": total_loss / max(total_n, 1),
@@ -196,7 +205,7 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                 print(f"Counter{counter} Train_Loss: {loss}")
                 with open(metrics_jsonl, "a") as f:
                     f.write(json.dumps({"step": counter, "loss": loss}) + "\n")
-        info = _evaluate(cfg, model, state.params, state.batch_stats, valloader)
+        info = _evaluate(cfg, model, state.params, state.batch_stats, valloader, mesh=mesh)
         print(info["confmat_str"])
         with open(results_txt, "a") as f:
             f.write(f"epoch{epoch}" + info["confmat_str"] + "\n")

@@ -145,8 +145,10 @@ class Up(nn.Module):
     def __call__(self, x1, x2, train: bool = False):
         from ..ops.sampling import resize_bilinear
 
-        _, h, w, _ = x1.shape
-        x1 = resize_bilinear(x1, (h * self.scale, w * self.scale), align_corners=True)
+        # resize to the skip's actual dims: identical to x`scale` upsampling
+        # when shapes divide evenly (the reference case), and robust to
+        # non-/32-divisible inputs where ceil-strided convs desync by a pixel
+        x1 = resize_bilinear(x1, (x2.shape[1], x2.shape[2]), align_corners=True)
         x = jnp.concatenate([x2, x1], axis=-1)
         x = ConvBN(self.features, dtype=self.dtype, name="conv1")(x, train)
         x = ConvBN(self.features, dtype=self.dtype, name="conv2")(x, train)
