@@ -178,6 +178,20 @@ class SceneUnder(nn.Module):
         return ASPP((12, 24, 36), dtype=self.dtype, name="aspp")(x, train)
 
 
+class Embedder(nn.Module):
+    """conv3x3+BN+ReLU -> flatten -> linear (reference src/modules.py:210-218;
+    the fused form of EmbedderConv + EmbedderFlat)."""
+
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.out_features, (3, 3), dtype=self.dtype, name="conv")(x, train)
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        return nn.Dense(self.out_features, dtype=self.dtype, name="fc")(x)
+
+
 class EmbedderConv(nn.Module):
     """conv3x3+BN+ReLU (Embedder_f1 / Embedder_lr1, src/modules.py:220-241)."""
 

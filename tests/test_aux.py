@@ -124,3 +124,28 @@ def test_path_self_healing(tmp_path):
     )
     item = ds[0]  # would raise FileNotFoundError without healing
     assert item["imgs"].shape == (6, 128, 352, 3)
+
+
+def test_embedder_module():
+    import jax
+    import jax.numpy as jnp
+
+    from lss2_multimodal_nu_tpu.nn.lss_modules import Embedder
+
+    m = Embedder(out_features=16)
+    x = jnp.zeros((2, 8, 22, 32))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(vars_, x)
+    assert y.shape == (2, 16)
+
+
+def test_profiler_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from lss2_multimodal_nu_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "trace")):
+        float(jnp.sum(jnp.ones((8, 8))))
+    import os
+
+    assert any(os.scandir(tmp_path / "trace"))
