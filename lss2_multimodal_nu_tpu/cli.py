@@ -88,8 +88,15 @@ def _loaders(cfg, with_txt: bool, split_family: str, test: bool = False, nworker
     )
 
 
-def _evaluate(cfg, model, params, batch_stats, loader, mesh=None):
-    """get_val_info / get_val_info_new equivalent (tools.py:267-342)."""
+def _evaluate(cfg, model, params, batch_stats, loader, mesh=None, no_bev=False):
+    """get_val_info / get_val_info_new equivalent (tools.py:267-342).
+
+    With ``no_bev=True``, reports only the act/desc F1 block — the
+    `get_val_info_nobev` ablation surface (tools.py:344-395).
+
+    All per-batch quantities (loss sum, confusion matrix, predictions) stay
+    on device; the host syncs once at the end of the epoch.
+    """
     import jax.numpy as jnp
 
     from .train.metrics import confusion_matrix_compute, format_confusion, per_class_and_macro_f1
@@ -97,7 +104,8 @@ def _evaluate(cfg, model, params, batch_stats, loader, mesh=None):
 
     ev = make_eval_step(cfg, model)
     confmat = jnp.zeros((cfg.model.seg_classes,) * 2, jnp.int32)
-    total_loss, total_n = 0.0, 0
+    total_loss = jnp.float32(0.0)
+    total_n = 0
     acts_t, acts_p, descs_t, descs_p = [], [], [], []
     for batch in loader:
         if mesh is not None:
@@ -106,31 +114,30 @@ def _evaluate(cfg, model, params, batch_stats, loader, mesh=None):
             batch = shard_batch(mesh, batch)
         res = ev(params, batch_stats, batch, confmat)
         confmat = res["confmat"]
-        bs = int(res["bsize"])
-        total_loss += float(res["loss"]) * bs
+        bs = int(res["bsize"])  # static (from shape) — no device sync
+        total_loss = total_loss + res["loss"] * bs
         total_n += bs
         if "act_pred" in res:
-            acts_p.append(np.asarray(res["act_pred"]))
-            descs_p.append(np.asarray(res["desc_pred"]))
-            acts_t.append(np.asarray(batch["act"]))
-            descs_t.append(np.asarray(batch["desc"]))
+            acts_p.append(res["act_pred"])
+            descs_p.append(res["desc_pred"])
+            acts_t.append(batch["act"])
+            descs_t.append(batch["desc"])
     if total_n == 0:
         print(
             "[eval] WARNING: no evaluation batches (val set smaller than the "
             "batch size with drop_last=True) — metrics will be NaN"
         )
-    out = {
-        "confmat": np.asarray(confmat),
-        "loss": total_loss / max(total_n, 1),
-    }
-    out.update(confusion_matrix_compute(out["confmat"]))
-    out["confmat_str"] = format_confusion(out["confmat"])
+    out = {"loss": float(total_loss) / max(total_n, 1)}
+    if not no_bev:
+        out["confmat"] = np.asarray(confmat)
+        out.update(confusion_matrix_compute(out["confmat"]))
+        out["confmat_str"] = format_confusion(out["confmat"])
     if acts_p:
         act_per, act_overall, act_mean = per_class_and_macro_f1(
-            np.concatenate(acts_t), np.concatenate(acts_p)
+            np.asarray(jnp.concatenate(acts_t)), np.asarray(jnp.concatenate(acts_p))
         )
         desc_per, desc_overall, desc_mean = per_class_and_macro_f1(
-            np.concatenate(descs_t), np.concatenate(descs_p)
+            np.asarray(jnp.concatenate(descs_t)), np.asarray(jnp.concatenate(descs_p))
         )
         out.update(
             act_f1=act_per.tolist(), desc_f1=desc_per.tolist(),
@@ -192,6 +199,10 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
     preempt = ckpt.PreemptionHandler()
     results_txt = os.path.join(cfg.logdir, args.results_file)
     metrics_jsonl = os.path.join(cfg.logdir, "metrics.jsonl")
+    # stack-B cadence: validate every --eval_every epochs, keep the best-mIoU
+    # checkpoint, periodic full checkpoints every --ckpt_every
+    # (train_vovnet_transformer.py:550,573-605)
+    best_miou, best_epoch = -1.0, -1
     for epoch in range(cfg.train.num_epochs):
         print(f"--------------Epoch: {epoch}--------------")
         t_ep = time.time()
@@ -205,17 +216,26 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                 print(f"Counter{counter} Train_Loss: {loss}")
                 with open(metrics_jsonl, "a") as f:
                     f.write(json.dumps({"step": counter, "loss": loss}) + "\n")
-        info = _evaluate(cfg, model, state.params, state.batch_stats, valloader, mesh=mesh)
-        print(info["confmat_str"])
-        with open(results_txt, "a") as f:
-            f.write(f"epoch{epoch}" + info["confmat_str"] + "\n")
-            if "act_overall" in info:
-                f.write(
-                    "F1_info: F1_Action: {act_f1}\nF1_Description: {desc_f1}\n"
-                    "Action_overall: {act_overall}\nDescription_overall: {desc_overall}\n"
-                    "Action_mean: {act_mean}\nDescription_mean: {desc_mean}\n".format(**info)
+        if epoch % max(args.eval_every, 1) == 0:
+            info = _evaluate(cfg, model, state.params, state.batch_stats, valloader, mesh=mesh)
+            print(info["confmat_str"])
+            with open(results_txt, "a") as f:
+                f.write(f"epoch{epoch}" + info["confmat_str"] + "\n")
+                if "act_overall" in info:
+                    f.write(
+                        "F1_info: F1_Action: {act_f1}\nF1_Description: {desc_f1}\n"
+                        "Action_overall: {act_overall}\nDescription_overall: {desc_overall}\n"
+                        "Action_mean: {act_mean}\nDescription_mean: {desc_mean}\n".format(**info)
+                    )
+                f.write("\n")
+            miou = float(info.get("mean_iou", float("nan")))
+            if args.save_best and miou == miou and miou > best_miou:
+                best_miou, best_epoch = miou, epoch
+                bname = os.path.join(cfg.logdir, f"best_model_{args.version_flags}")
+                ckpt.save_train_state(
+                    bname, state, {"epoch": epoch, "best_miou": best_miou}
                 )
-            f.write("\n")
+                print(f"saved best model: {bname} (mIoU: {best_miou:.4f})")
         mname = os.path.join(cfg.logdir, f"model{epoch}")
         print("saving", mname)
         ckpt.save_params(mname, state.params, state.batch_stats)
@@ -223,6 +243,14 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
         ckpt.save_train_state(
             os.path.join(cfg.logdir, "state_latest"), state, {"epoch": epoch}
         )
+        if args.ckpt_every and epoch % args.ckpt_every == 0:
+            ckpt.save_train_state(
+                os.path.join(
+                    cfg.logdir, f"checkpoint_{args.version_flags}_epoch_{epoch}"
+                ),
+                state,
+                {"epoch": epoch},
+            )
         if preempt.should_stop():
             print("preemption signal received — saved, exiting cleanly")
             return state
@@ -235,6 +263,8 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                 state.params, state.batch_stats, PRETRAIN_COMPONENTS,
             )
         print(f"epoch time: {time.time() - t_ep:.1f}s")
+    if args.save_best and best_epoch >= 0:
+        print(f"Best mIoU: {best_miou:.4f} at epoch {best_epoch}")
     return state
 
 
@@ -295,8 +325,9 @@ def run_predict(args, family: str):
     params, batch_stats = state.params, state.batch_stats
     if args.checkpoint:
         params, batch_stats = ckpt.restore_params_loose(args.checkpoint, params, batch_stats)
-    info = _evaluate(cfg, model, params, batch_stats, testloader)
-    print(info["confmat_str"])
+    info = _evaluate(cfg, model, params, batch_stats, testloader, no_bev=args.no_bev)
+    if "confmat_str" in info:
+        print(info["confmat_str"])
     report = {
         k: (v.tolist() if isinstance(v, np.ndarray) else v)
         for k, v in info.items()
@@ -304,12 +335,13 @@ def run_predict(args, family: str):
     }
     print(report)
     with open(args.out_file, "a") as f:  # predict.py:97-99 surface
-        f.write(info["confmat_str"] + "\n" + json.dumps(report) + "\n\n")
+        f.write(info.get("confmat_str", "") + "\n" + json.dumps(report) + "\n\n")
     return info
 
 
 def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-8,
-               bsize: int = 6, max_grad_norm: float = 5.0, nepochs: int = 50):
+               bsize: int = 6, max_grad_norm: float = 5.0, nepochs: int = 50,
+               eval_every: int = 1, ckpt_every: int = 0, save_best: bool = False):
     p.add_argument("--version", default="trainval", choices=["trainval", "mini"])
     p.add_argument("--dataroot", default="/data/nu-A2D")
     p.add_argument("--nepochs", default=nepochs, type=int)
@@ -348,6 +380,12 @@ def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-
     p.add_argument("--lss_version", default="v2", choices=["v1", "v2"])
     p.add_argument("--version_flags", default="V3", choices=["V1", "V2", "V3"])
     p.add_argument("--use_schedule", action="store_true", default=True)
+    p.add_argument("--eval_every", default=eval_every, type=int,
+                   help="validate every N epochs (stack B reference: 5)")
+    p.add_argument("--ckpt_every", default=ckpt_every, type=int,
+                   help="periodic full checkpoints every N epochs (stack B: 10)")
+    p.add_argument("--save_best", action=argparse.BooleanOptionalAction, default=save_best,
+                   help="keep the best-mIoU full checkpoint (stack B reference)")
     # mesh
     p.add_argument("--dp", default=1, type=int)
     p.add_argument("--fsdp", default=1, type=int)
@@ -361,7 +399,8 @@ def main(argv=None):
     DEFAULTS = {
         "pretrain": dict(lr=1e-3, wdecay=1e-7),
         "pretrain-v2": dict(lr=1e-4, wdecay=1e-8, bsize=12, nepochs=60),
-        "train-v2": dict(lr=1e-4, wdecay=1e-8, bsize=8, max_grad_norm=10.0, nepochs=60),
+        "train-v2": dict(lr=1e-4, wdecay=1e-8, bsize=8, max_grad_norm=10.0, nepochs=60,
+                         eval_every=5, ckpt_every=10, save_best=True),
         # reference predict.py:111 evaluates at batch 1 (nothing dropped by
         # drop_last -> exact split coverage)
         "predict": dict(bsize=1),
@@ -373,6 +412,8 @@ def main(argv=None):
         add_common(p, **DEFAULTS.get(name, {}))
         if name == "predict":
             p.add_argument("--out_file", default="./test.txt")
+            p.add_argument("--no_bev", action="store_true",
+                           help="act/desc-only eval (get_val_info_nobev, tools.py:344-395)")
         if name == "predict-iou":
             p.add_argument("--out_file", default="./b1_20.txt")
     args = parser.parse_args(argv)

@@ -23,14 +23,19 @@ pre-clamped to [0, 1] (the reference clamps too, transformer_modules.py:131),
 which bounds anchors inside the padded table.
 
 Measured (v5e, B=4, 8 heads, dh=32, 200x200, 8 pts): naive 1521 ms -> patch
-189 ms. Follow-up findings from this round's optimization study:
-  * the gather is FETCH-COUNT bound (~54M rows/s regardless of row bytes):
-    a bf16 table only gives 174 ms, so traffic is not the wall;
-  * a windowed dense-MXU reformulation (tiled one-hot matmuls) measures
-    ~207 ms — the one-hot/intermediate HBM traffic cancels the MXU win;
-  * Mosaic's `tpu.dynamic_gather` is intra-vreg (128-lane) only, so a
-    VMEM-table Pallas gather kernel is not currently expressible; a manual
-    DMA-pipelined Mosaic kernel is the remaining headroom (~4x).
+~150 ms (honest scan-amortized timing; earlier per-call timings carried a
+~26 ms host-tunnel floor). Round-2 findings that supersede the round-1
+"fetch-count bound" theory:
+  * the XLA patch gather is bound by DRAM row-buffer locality: random 512-B
+    fetches from the ~660 MB HBM table run at ~70 M rows/s, but the *same*
+    gather against a 20 MB table runs at ~320 M rows/s — the fetch COUNT was
+    never the wall, the table's HBM footprint was;
+  * v5e has 128 MB of VMEM (not 16), so the per-bh patch table (20.7 MB)
+    fits on-chip: the Pallas kernel in `deformable_pallas.py` pins it in
+    VMEM and gathers at ~470 M rows/s (~2 cycles/row) — see that module;
+  * Mosaic's `tpu.dynamic_gather` is intra-vreg only ("multiple source vregs
+    along gather dimension" is unimplemented), so the kernel uses per-row
+    dynamic vector loads driven by SMEM scalar indices instead.
 """
 from __future__ import annotations
 
@@ -145,12 +150,38 @@ def deformable_sample_combine_xla(
     return combine(locs, attn)
 
 
+# Process-wide override for impl="auto" call sites (None = pick by backend).
+# Lets benchmarks/tests flip the sampling engine without re-plumbing configs.
+_DEFAULT_IMPL: str | None = None
+
+
+def set_default_impl(impl: str | None) -> None:
+    global _DEFAULT_IMPL
+    assert impl in (None, "auto", "pallas", "patch", "xla")
+    _DEFAULT_IMPL = None if impl == "auto" else impl
+
+
 def deformable_sample_combine(
     v: jnp.ndarray, locs: jnp.ndarray, attn: jnp.ndarray, h: int, w: int,
     impl: str = "auto",
 ) -> jnp.ndarray:
+    from . import deformable_pallas
+
+    if impl == "auto" and _DEFAULT_IMPL is not None:
+        impl = _DEFAULT_IMPL
     if impl == "auto":
-        impl = "patch" if jax.default_backend() not in ("cpu",) else "xla"
+        if jax.default_backend() == "cpu":
+            impl = "xla"
+        elif deformable_pallas.supports(v.shape[1]):
+            impl = "pallas"
+        else:
+            impl = "patch"
+    if impl == "pallas" and not deformable_pallas.supports(v.shape[1]):
+        impl = "patch"
+    if impl == "pallas":
+        return deformable_pallas.deformable_sample_combine_pallas(
+            v, locs, attn, h, w
+        )
     if impl == "patch":
         return deformable_sample_combine_patch(v, locs, attn, h, w)
     return deformable_sample_combine_xla(v, locs, attn, h, w)

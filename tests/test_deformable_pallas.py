@@ -1,0 +1,92 @@
+"""Pallas deformable-sampling kernel vs the XLA patch/xla oracles.
+
+On CPU (the CI mesh) the kernel runs in the Pallas interpreter; on a real
+TPU backend the same tests exercise the compiled Mosaic kernel. Gradient
+equality checks the custom_vjp wiring (backward = patch-path VJP)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lss2_multimodal_nu_tpu.ops import deformable_pallas as dp
+from lss2_multimodal_nu_tpu.ops.deformable_sampling import (
+    deformable_sample_combine_patch,
+    deformable_sample_combine_xla,
+)
+
+BH, DH, H, W, NPTS = 4, 32, 16, 16, 4
+N = H * W
+
+
+@pytest.fixture(autouse=True)
+def _interpret_on_cpu():
+    old = dp._INTERPRET
+    dp._INTERPRET = jax.default_backend() == "cpu"
+    yield
+    dp._INTERPRET = old
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.normal(size=(BH, DH, N)).astype(np.float32))
+    locs = jnp.asarray(rng.uniform(0, 1, size=(BH, NPTS, N, 2)).astype(np.float32))
+    attn = jnp.asarray(rng.uniform(0, 1, size=(BH, NPTS, N)).astype(np.float32))
+    return v, locs, attn
+
+
+def test_matches_patch_oracle():
+    v, locs, attn = _inputs()
+    out = jax.jit(
+        lambda a, b, c: dp.deformable_sample_combine_pallas(a, b, c, H, W)
+    )(v, locs, attn)
+    ref = deformable_sample_combine_patch(v, locs, attn, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_matches_xla_oracle_boundary_locs():
+    v, locs, attn = _inputs(1)
+    # exercise the clamped boundary (anchors at the zero-padding ring)
+    locs = jnp.clip(locs * 1.2 - 0.1, 0.0, 1.0)
+    out = jax.jit(
+        lambda a, b, c: dp.deformable_sample_combine_pallas(a, b, c, H, W)
+    )(v, locs, attn)
+    ref = deformable_sample_combine_xla(v, locs, attn, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_nonmultiple_query_count_pads():
+    v, locs, attn = _inputs(2)
+    n = N - 3  # not a multiple of the 8-query group
+    locs, attn = locs[:, :, :n], attn[:, :, :n]
+    out = jax.jit(
+        lambda a, b, c: dp.deformable_sample_combine_pallas(a, b, c, H, W)
+    )(v, locs, attn)
+    ref = deformable_sample_combine_patch(v, locs, attn, H, W)
+    assert out.shape == (BH, n, DH)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_gradients_match_patch_path():
+    v, locs, attn = _inputs(3)
+
+    def loss_pallas(v, locs, attn):
+        return jnp.sum(
+            dp.deformable_sample_combine_pallas(v, locs, attn, H, W) ** 2
+        )
+
+    def loss_patch(v, locs, attn):
+        return jnp.sum(deformable_sample_combine_patch(v, locs, attn, H, W) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(v, locs, attn)
+    g2 = jax.jit(jax.grad(loss_patch, argnums=(0, 1, 2)))(v, locs, attn)
+    # fwd outputs differ by ~1e-6 fp reassociation; the squared loss doubles
+    # that into the cotangent — a wiring bug would be O(1), not O(1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_supports_gate():
+    assert dp.supports(32)
+    assert not dp.supports(64)
