@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.deformable_sampling import deformable_sample_combine
+from ..ops.deformable_sampling import deformable_sample_combine_xy
 from .layers import Dtype
 
 
@@ -56,6 +56,45 @@ def _spiral_offset_bias(n_heads: int, n_points: int) -> np.ndarray:
     return grid.reshape(-1).astype(np.float32)
 
 
+class FoldingDense(nn.Module):
+    """Param-compatible stand-in for ``nn.Dense(features)`` that consumes the
+    PRE-FOLD sampling output (B, N, n_heads*4*dh) and absorbs the bilinear
+    quadrant fold into the projection by replicating each weight row 4x:
+
+        out = fold(pre) @ W + b  ==  pre @ expand(W) + b
+
+    (the 4 quadrant groups of a head share the head's dh weight rows). This
+    keeps every materialized tensor at >=128 lanes — folding first would
+    produce a dh=32-lane tensor that the TPU layout pads 4x in HBM."""
+
+    features: int
+    n_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pre):
+        """pre: (B, n_heads, N, 4*dh) -> (B, N, features).
+
+        Contracting over (head, 4*dh) in one dot_general lets the MXU read
+        `pre` head-by-head directly — an explicit (B, N, heads*4dh) transpose
+        would copy ~1 GB at flagship shapes."""
+        c = self.features
+        dh = c // self.n_heads
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_uniform(), (c, c), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        w_exp = jnp.broadcast_to(
+            kernel.reshape(self.n_heads, 1, dh, c), (self.n_heads, 4, dh, c)
+        ).reshape(self.n_heads, 4 * dh, c)
+        out = jax.lax.dot_general(
+            pre,
+            w_exp.astype(self.dtype),
+            dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+        )  # (B, N, c)
+        return out + bias.astype(self.dtype)
+
+
 class DeformableAttention(nn.Module):
     """Sparse attention: 8 sampled points per query instead of 40k-token full
     attention (reference transformer_modules.py:62-167)."""
@@ -75,6 +114,10 @@ class DeformableAttention(nn.Module):
         nh, npts = self.n_heads, self.n_points
         dh = c // nh
 
+        # All plumbing is channel-major / trailing-N: any tensor whose
+        # trailing dims are tiny (2, npts=8, dh=32) gets lane-padded to 128
+        # by the TPU tiled layout when it materializes at a transpose —
+        # measured at ~90 ms/forward before this restructuring.
         offsets = nn.Dense(
             nh * npts * 2,
             kernel_init=nn.initializers.zeros,
@@ -83,7 +126,8 @@ class DeformableAttention(nn.Module):
             ),
             dtype=self.dtype,
             name="sampling_offsets",
-        )(query).reshape(b, n, nh, npts, 2)
+        )(query)  # (B, N, nh*npts*2), channels ordered (head, point, xy)
+        offsets = jnp.transpose(offsets, (0, 2, 1)).reshape(b, nh, npts, 2, n)
 
         attn = nn.Dense(
             nh * npts,
@@ -91,13 +135,17 @@ class DeformableAttention(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="attention_weights",
-        )(query).reshape(b, n, nh, npts)
-        attn = nn.softmax(attn, axis=-1)
+        )(query)  # (B, N, nh*npts)
+        attn = jnp.transpose(attn, (0, 2, 1)).reshape(b, nh, npts, n)
+        attn = nn.softmax(attn, axis=2)  # over the points axis
 
         if reference_points.ndim == 2:
             reference_points = reference_points[None]
-        locs = reference_points[:, :, None, None, :] + offsets / h
-        locs = jnp.clip(locs, 0.0, 1.0)
+        refx = reference_points[..., 0][:, None, None, :]  # (1|B, 1, 1, N)
+        refy = reference_points[..., 1][:, None, None, :]
+        # reference divides both components by h (transformer_modules.py:129)
+        lx = jnp.clip(refx + offsets[:, :, :, 0, :] / h, 0.0, 1.0)
+        ly = jnp.clip(refy + offsets[:, :, :, 1, :] / h, 0.0, 1.0)
 
         v = nn.Dense(
             c,
@@ -107,24 +155,21 @@ class DeformableAttention(nn.Module):
             name="value_proj",
         )(value)
         # channel-major per-head value maps: (B*nh, dh, N)
-        v_cm = v.reshape(b, n, nh, dh)
-        v_cm = jnp.transpose(v_cm, (0, 2, 3, 1)).reshape(b * nh, dh, n)
-        # (B, N, nh, npts, ...) -> (B*nh, npts, N, ...)
-        locs_h = jnp.transpose(locs, (0, 2, 3, 1, 4)).reshape(b * nh, npts, n, 2)
-        attn_h = jnp.transpose(attn, (0, 2, 3, 1)).reshape(b * nh, npts, n)
+        v_cm = jnp.transpose(v, (0, 2, 1)).reshape(b * nh, dh, n)
 
-        out = deformable_sample_combine(
-            v_cm, locs_h, attn_h, h, w, impl=self.sampling_impl
-        )  # (B*nh, N, dh)
-        out = out.reshape(b, nh, n, dh)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
-        return nn.Dense(
-            c,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="output_proj",
-        )(out)
+        pre = deformable_sample_combine_xy(
+            v_cm,
+            lx.reshape(b * nh, npts, n),
+            ly.reshape(b * nh, npts, n),
+            attn.reshape(b * nh, npts, n),
+            h,
+            w,
+            impl=self.sampling_impl,
+            prefold=True,
+        )  # (B*nh, N, 4*dh) — quadrant groups folded by the projection below
+        return FoldingDense(c, nh, dtype=self.dtype, name="output_proj")(
+            pre.reshape(b, nh, n, 4 * dh)
+        )
 
 
 class TransformerEncoderLayer(nn.Module):

@@ -43,23 +43,25 @@ _INTERPRET = False
 def _kernel(idx_ref, tab_ref, w4_ref, out_ref, wvec_ref, *, npts: int, dh: int):
     qc = out_ref.shape[1]
     cw = out_ref.shape[2]
-    # Expand compact quadrant weights (4, qc) per point to row weights
-    # (qc, 128) on the MXU: E[c, j] = [j // dh == c]. Exact in f32 (E is
-    # 0/1), so force HIGHEST to keep bf16-rounding out of w4. The quadrant
-    # axis is carried as a LEADING axis end-to-end — a trailing size-4 axis
-    # would be lane-padded 4->128 by the TPU layout (32x HBM blow-up).
+    # Expand compact quadrant weights (4, npts*qc) to row weights
+    # (npts*qc, 128) on the MXU: E[c, j] = [j // dh == c]. The quadrant axis
+    # is carried as a LEADING axis end-to-end — a trailing size-4 axis would
+    # be lane-padded 4->128 by the TPU layout (32x HBM blow-up). A HIGHEST-
+    # precision dot keeps w4 exact but costs ~12 ms/fwd in 3-pass splitting;
+    # instead split w4 = hi + lo ourselves and run two DEFAULT (bf16-input)
+    # dots: bf16(hi) is exact and lo only carries the low mantissa bits, so
+    # the sum reproduces f32 weights exactly at half the cost.
     e = (
         jax.lax.broadcasted_iota(jnp.int32, (4, cw), 1) // dh
         == jax.lax.broadcasted_iota(jnp.int32, (4, cw), 0)
     ).astype(jnp.float32)
-    for p in range(npts):
-        wvec_ref[pl.ds(p * qc, qc), :] = jax.lax.dot_general(
-            w4_ref[0, :, p, :],  # (4, qc)
-            e,  # (4, cw)
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    w = w4_ref[0].reshape(4, npts * qc)
+    w_hi = w.astype(jnp.bfloat16).astype(jnp.float32)
+    w_lo = w - w_hi
+    dn = (((0,), (0,)), ((), ()))
+    wvec_ref[:] = jax.lax.dot_general(
+        w_hi, e, dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(w_lo, e, dn, preferred_element_type=jnp.float32)
 
     def body(q8, _):
         q0 = q8 * _QGROUP
@@ -79,7 +81,7 @@ def _kernel(idx_ref, tab_ref, w4_ref, out_ref, wvec_ref, *, npts: int, dh: int):
     jax.lax.fori_loop(0, qc // _QGROUP, body, 0, unroll=False)
 
 
-def _sample_pallas(tab, gidx, w4, npts: int, dh: int):
+def _sample_pallas(tab, gidx, w4, npts: int, dh: int, qc: int | None = None):
     """tab (BH, R_pad, 4*dh) f32; gidx (BH, npts, N_pad) int32;
     w4 (BH, 4, npts, N_pad) f32 -> (BH, N_pad, 4*dh) f32 (pre-fold).
 
@@ -87,7 +89,9 @@ def _sample_pallas(tab, gidx, w4, npts: int, dh: int):
     at trace time so tests can run the kernel on CPU."""
     bh, r_pad, cw = tab.shape
     n_pad = gidx.shape[2]
-    qc = min(_QC, n_pad)
+    if qc is None:
+        qc = min(_QC, n_pad)
+    assert n_pad % qc == 0 and qc % _QGROUP == 0
     grid = (bh, n_pad // qc)
     kern = functools.partial(_kernel, npts=npts, dh=dh)
     return pl.pallas_call(
@@ -122,21 +126,26 @@ def supports(dh: int) -> bool:
     return 4 * dh == 128
 
 
-def _prep(v, locs, attn, h: int, w: int):
+def _prep(v, lx, ly, attn, h: int, w: int):
     """Shared geometry: padded-anchor indices + combined quadrant weights.
 
     Same math as the XLA patch path (align_corners=False, zero padding
     outside, locations pre-clamped to [0,1] by the caller — reference
-    transformer_modules.py:131,152)."""
-    from .deformable_sampling import _build_patch_table
+    transformer_modules.py:131,152). x/y locations arrive as separate dense
+    (BH, npts, N) arrays — see deformable_sampling on the trailing-size-2
+    layout trap.
 
+    The table is built with its column count padded so the row count is a
+    multiple of 8 (Mosaic block alignment) — building padded is free, while
+    jnp.pad on the built table copies ~1 GB at flagship shapes."""
     bh, dh, hw = v.shape
-    npts, n = locs.shape[1], locs.shape[2]
-    pw = w + 1
+    npts, n = lx.shape[1], lx.shape[2]
+    # smallest column count >= w+1 making (h+1)*pw a multiple of 8
+    pw = next(c for c in range(w + 1, w + 9) if (h + 1) * c % 8 == 0)
     r = (h + 1) * pw
 
-    fx = locs[..., 0] * w - 0.5
-    fy = locs[..., 1] * h - 0.5
+    fx = lx * w - 0.5
+    fy = ly * h - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     wx = fx - x0
@@ -155,54 +164,92 @@ def _prep(v, locs, attn, h: int, w: int):
         axis=1,
     )  # (BH, 4, npts, N) — quadrant axis leading (lane-padding trap, see kernel)
 
-    tab = _build_patch_table(v.astype(jnp.float32), h, w).reshape(bh, r, 4 * dh)
+    vimg = jnp.moveaxis(v.astype(jnp.float32), 1, 2).reshape(bh, h, w, dh)
+    xpad = pw - w  # >= 1; columns beyond w+1 are never addressed (ax <= w)
+    vp = jnp.pad(vimg, ((0, 0), (1, 1), (1, xpad), (0, 0)))
+    tab = jnp.concatenate(
+        [vp[:, :-1, 0:pw], vp[:, :-1, 1 : pw + 1],
+         vp[:, 1:, 0:pw], vp[:, 1:, 1 : pw + 1]],
+        axis=-1,
+    ).reshape(bh, r, 4 * dh)  # (BH, (h+1)*pw, 4*dh)
     return tab, gidx, w4.astype(jnp.float32)
 
 
-def _forward(v, locs, attn, h: int, w: int):
+def _forward_prefold(v, lx, ly, attn, h: int, w: int):
+    """Pre-fold output (BH, N, 4*dh): the 4 quadrant contributions live in
+    separate lane groups. The caller folds them — or better, absorbs the
+    fold into the next matmul's weights (see nn.transformer.FoldingDense),
+    which keeps every materialized tensor at 128 lanes (a (.., dh=32)
+    output would be lane-padded 4x by the TPU layout)."""
     bh, dh, hw = v.shape
-    npts, n = locs.shape[1], locs.shape[2]
-    tab, gidx, w4 = _prep(v, locs, attn, h, w)
+    npts, n = lx.shape[1], lx.shape[2]
+    tab, gidx, w4 = _prep(v, lx, ly, attn, h, w)
 
-    r = tab.shape[1]
-    r_pad = -(-r // 8) * 8
-    qc = min(_QC, -(-n // _QGROUP) * _QGROUP)
+    r_pad = tab.shape[1]  # built pre-aligned to a multiple of 8 by _prep
+    # chunk size: multiple of 128 (Mosaic block-dim rule) that divides n if
+    # possible (avoids pad copies); small n runs as one full-dim chunk
+    if n <= _QC:
+        qc = -(-n // _QGROUP) * _QGROUP
+    else:
+        qc = next((q for q in range(_QC, 127, -128) if n % q == 0), _QC)
     n_pad = -(-n // qc) * qc
-    if r_pad != r:
-        tab = jnp.pad(tab, ((0, 0), (0, r_pad - r), (0, 0)))
     if n_pad != n:
         gidx = jnp.pad(gidx, ((0, 0), (0, 0), (0, n_pad - n)))
         w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)))
 
-    out128 = _sample_pallas(tab, gidx, w4, npts, dh)  # (BH, N_pad, 4*dh)
-    out = out128[:, :n].reshape(bh, n, 4, dh).sum(axis=2)
-    return out.astype(v.dtype)
+    out128 = _sample_pallas(tab, gidx, w4, npts, dh, qc)  # (BH, N_pad, 4*dh)
+    return out128[:, :n].astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def deformable_sample_combine_pallas(v, locs, attn, h: int, w: int):
-    """(BH, N, dh) attention-weighted bilinear samples — Pallas forward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def deformable_sample_combine_pallas_xy_prefold(v, lx, ly, attn, h: int, w: int):
+    """(BH, N, 4*dh) pre-fold samples — Pallas forward.
 
-    Backward runs the XLA patch path's VJP (gradient-exact; a dedicated
-    backward kernel is future work — forward dominates inference)."""
-    return _forward(v, locs, attn, h, w)
+    GRADIENT CONTRACT: the backward assumes a quadrant-REPLICATED cotangent
+    (g identical across the four dh-lane groups), which holds whenever the
+    output is consumed through a fold-respecting op — summing the groups, or
+    nn.transformer.FoldingDense (its W rows are replicated across groups, so
+    W_exp^T replicates the cotangent). Under that contract
+    vjp_prefold(g) == vjp_folded(g[..., :dh]), which is what runs here via
+    the XLA patch path (gradient-exact; a dedicated backward kernel is
+    future work — forward dominates inference)."""
+    return _forward_prefold(v, lx, ly, attn, h, w)
 
 
-def _fwd(v, locs, attn, h, w):
-    return _forward(v, locs, attn, h, w), (v, locs, attn)
+def _fwd(v, lx, ly, attn, h, w):
+    return _forward_prefold(v, lx, ly, attn, h, w), (v, lx, ly, attn)
 
 
 def _bwd(h, w, res, g):
-    from .deformable_sampling import deformable_sample_combine_patch
+    from .deformable_sampling import deformable_sample_combine_patch_xy
 
-    v, locs, attn = res
+    v, lx, ly, attn = res
+    dh = v.shape[1]
     _, vjp = jax.vjp(
-        lambda vv, ll, aa: deformable_sample_combine_patch(vv, ll, aa, h, w),
-        v,
-        locs,
-        attn,
+        lambda vv, xx, yy, aa: deformable_sample_combine_patch_xy(
+            vv, xx, yy, aa, h, w
+        ),
+        v, lx, ly, attn,
     )
-    return vjp(g)
+    return vjp(g[..., :dh])
 
 
-deformable_sample_combine_pallas.defvjp(_fwd, _bwd)
+deformable_sample_combine_pallas_xy_prefold.defvjp(_fwd, _bwd)
+
+
+def deformable_sample_combine_pallas_xy(v, lx, ly, attn, h: int, w: int):
+    """Folded (BH, N, dh) output — compatibility entry over the prefold
+    kernel (lane-slice fold in XLA)."""
+    dh = v.shape[1]
+    o = deformable_sample_combine_pallas_xy_prefold(v, lx, ly, attn, h, w)
+    return (
+        (o[..., 0 * dh : 1 * dh] + o[..., 1 * dh : 2 * dh])
+        + (o[..., 2 * dh : 3 * dh] + o[..., 3 * dh : 4 * dh])
+    )
+
+
+def deformable_sample_combine_pallas(v, locs, attn, h: int, w: int):
+    """(…, 2)-locs compatibility wrapper over the xy entry point."""
+    return deformable_sample_combine_pallas_xy(
+        v, locs[..., 0], locs[..., 1], attn, h, w
+    )

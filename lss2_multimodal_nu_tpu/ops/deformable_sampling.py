@@ -70,16 +70,35 @@ def deformable_sample_combine_patch(
     h: int,
     w: int,
 ) -> jnp.ndarray:
+    return deformable_sample_combine_patch_xy(
+        v, locs[..., 0], locs[..., 1], attn, h, w
+    )
+
+
+def deformable_sample_combine_patch_xy(
+    v: jnp.ndarray,  # (BH, dh, HW) value maps, channel-major
+    lx: jnp.ndarray,  # (BH, npts, N) x locations in [0,1]
+    ly: jnp.ndarray,  # (BH, npts, N) y locations in [0,1]
+    attn: jnp.ndarray,  # (BH, npts, N)
+    h: int,
+    w: int,
+    prefold: bool = False,  # True -> (BH, N, 4*dh) quadrant-separated output
+) -> jnp.ndarray:
     """Returns (BH, N, dh): attention-weighted bilinear samples. (N-major
-    output avoids a 164MB transpose per scan step.)"""
+    output avoids a 164MB transpose per scan step.)
+
+    x/y locations are SEPARATE dense arrays: a trailing size-2 coordinate
+    axis would be lane-padded 2->128 by the TPU layout whenever such a
+    tensor materializes (64x HBM blow-up) — measured at ~90 ms per flagship
+    forward before this was restructured."""
     bh, dh, hw = v.shape
-    npts, n = locs.shape[1], locs.shape[2]
+    npts, n = lx.shape[1], lx.shape[2]
     tab = _build_patch_table(v, h, w)
     pw = w + 1
 
     # align_corners=False pixel coords
-    fx = locs[..., 0] * w - 0.5
-    fy = locs[..., 1] * h - 0.5
+    fx = lx * w - 0.5
+    fy = ly * h - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     wx = fx - x0
@@ -107,7 +126,8 @@ def deformable_sample_combine_patch(
         return (
             rows[..., 0 * dh : 1 * dh] * a00[..., None]
             + rows[..., 1 * dh : 2 * dh] * a01[..., None]
-            + rows[..., 2 * dh : 3 * dh] * a10[..., None]
+        ) + (
+            rows[..., 2 * dh : 3 * dh] * a10[..., None]
             + rows[..., 3 * dh : 4 * dh] * a11[..., None]
         )  # (BH, N, dh)
 
@@ -117,7 +137,16 @@ def deformable_sample_combine_patch(
         acc = acc + point_sample(
             gidx[:, p], w00[:, p], w01[:, p], w10[:, p], w11[:, p]
         ).astype(acc.dtype)
-    return acc.astype(v.dtype)
+    out = acc.astype(v.dtype)
+    if prefold:
+        # fold-in-group-0 representation: any fold-respecting consumer (sum
+        # over quadrant groups / FoldingDense) sees identical values, and the
+        # VJP under a quadrant-replicated cotangent is exactly vjp(g[:dh]).
+        # A true quadrant-separated XLA prefold was measured to materialize
+        # ~30 GB of lane-padded per-point parts — not worth it.
+        zero = jnp.zeros_like(out)
+        out = jnp.concatenate([out, zero, zero, zero], axis=-1)
+    return out
 
 
 def deformable_sample_combine_xla(
@@ -157,14 +186,11 @@ _DEFAULT_IMPL: str | None = None
 
 def set_default_impl(impl: str | None) -> None:
     global _DEFAULT_IMPL
-    assert impl in (None, "auto", "pallas", "patch", "xla")
+    assert impl in (None, "auto", "pallas", "patch", "xla", "zeros")
     _DEFAULT_IMPL = None if impl == "auto" else impl
 
 
-def deformable_sample_combine(
-    v: jnp.ndarray, locs: jnp.ndarray, attn: jnp.ndarray, h: int, w: int,
-    impl: str = "auto",
-) -> jnp.ndarray:
+def _resolve_impl(impl: str, dh: int) -> str:
     from . import deformable_pallas
 
     if impl == "auto" and _DEFAULT_IMPL is not None:
@@ -172,16 +198,57 @@ def deformable_sample_combine(
     if impl == "auto":
         if jax.default_backend() == "cpu":
             impl = "xla"
-        elif deformable_pallas.supports(v.shape[1]):
+        elif deformable_pallas.supports(dh):
             impl = "pallas"
         else:
             impl = "patch"
-    if impl == "pallas" and not deformable_pallas.supports(v.shape[1]):
+    if impl == "pallas" and not deformable_pallas.supports(dh):
         impl = "patch"
+    return impl
+
+
+def deformable_sample_combine(
+    v: jnp.ndarray, locs: jnp.ndarray, attn: jnp.ndarray, h: int, w: int,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    return deformable_sample_combine_xy(
+        v, locs[..., 0], locs[..., 1], attn, h, w, impl
+    )
+
+
+def deformable_sample_combine_xy(
+    v: jnp.ndarray, lx: jnp.ndarray, ly: jnp.ndarray, attn: jnp.ndarray,
+    h: int, w: int, impl: str = "auto", prefold: bool = False,
+) -> jnp.ndarray:
+    """With prefold=True returns (BH, N, 4*dh): the 4 bilinear-quadrant
+    contributions in separate lane groups (sum over groups = the folded
+    output). Lets the consumer absorb the fold into its next matmul so no
+    narrow (dh=32-lane) tensor ever materializes (TPU lane-padding)."""
+    from . import deformable_pallas
+
+    impl = _resolve_impl(impl, v.shape[1])
+    dh = v.shape[1]
+    if impl == "zeros":  # profiling/ablation knob: everything-but-sampling
+        cw = 4 * dh if prefold else dh
+        return jnp.zeros((v.shape[0], lx.shape[2], cw), v.dtype)
     if impl == "pallas":
-        return deformable_pallas.deformable_sample_combine_pallas(
-            v, locs, attn, h, w
+        if prefold:
+            return deformable_pallas.deformable_sample_combine_pallas_xy_prefold(
+                v, lx, ly, attn, h, w
+            )
+        return deformable_pallas.deformable_sample_combine_pallas_xy(
+            v, lx, ly, attn, h, w
         )
     if impl == "patch":
-        return deformable_sample_combine_patch(v, locs, attn, h, w)
-    return deformable_sample_combine_xla(v, locs, attn, h, w)
+        return deformable_sample_combine_patch_xy(
+            v, lx, ly, attn, h, w, prefold=prefold
+        )
+    out = deformable_sample_combine_xla(
+        v, jnp.stack([lx, ly], axis=-1), attn, h, w
+    )
+    if prefold:
+        # quadrant-separated equivalent: put the folded sum in group 0 —
+        # any fold-absorbing consumer treats the groups identically
+        zero = jnp.zeros_like(out)
+        out = jnp.concatenate([out, zero, zero, zero], axis=-1)
+    return out

@@ -90,3 +90,33 @@ def test_gradients_match_patch_path():
 def test_supports_gate():
     assert dp.supports(32)
     assert not dp.supports(64)
+
+
+def test_module_grads_pallas_vs_patch():
+    """Grad contract through the full module: the prefold custom_vjp assumes
+    a quadrant-replicated cotangent, which FoldingDense guarantees."""
+    from lss2_multimodal_nu_tpu.nn.transformer import DeformableAttention
+    from lss2_multimodal_nu_tpu.ops import deformable_sampling as ds
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, N, 64)).astype(np.float32))
+    ref = jnp.asarray(rng.uniform(0, 1, size=(N, 2)).astype(np.float32))
+    # dh = 64/4 = 16 -> unsupported by the kernel; use 128-dim instead
+    xc = jnp.asarray(rng.normal(size=(2, N, 128)).astype(np.float32))
+    mod = DeformableAttention(128, 4, 4)  # dh=32 -> kernel-supported
+    variables = mod.init(jax.random.PRNGKey(0), xc, xc, ref)
+
+    def loss(params, impl):
+        ds.set_default_impl(impl)
+        try:
+            out = mod.apply({"params": params}, xc, xc, ref)
+        finally:
+            ds.set_default_impl(None)
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(lambda p: loss(p, "pallas"))(variables["params"])
+    g2 = jax.grad(lambda p: loss(p, "patch"))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )
