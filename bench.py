@@ -112,10 +112,14 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     family = sys.argv[2] if len(sys.argv) > 2 else "vovnet_transformer"
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+    # bf16 compute matches the reference's mixed-precision surface (fp16
+    # autocast, train_vovnet_transformer.py:196-218); params stay f32 and the
+    # sampling kernel computes in f32 regardless (selective policy)
     cfg = Config(
         model=ModelConfig(
             family=family, vovnet_type="vovnet39", lss_version="v2",
-            effnet_variant="b4",
+            effnet_variant="b4", compute_dtype=dtype,
         )
     )
     model = build_model(cfg)

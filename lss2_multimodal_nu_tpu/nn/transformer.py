@@ -166,10 +166,13 @@ class DeformableAttention(nn.Module):
             w,
             impl=self.sampling_impl,
             prefold=True,
-        )  # (B*nh, N, 4*dh) — quadrant groups folded by the projection below
-        return FoldingDense(c, nh, dtype=self.dtype, name="output_proj")(
-            pre.reshape(b, nh, n, 4 * dh)
+            keep_pad=True,
+        )  # (B*nh, N_pad, 4*dh) — quadrant groups folded by the projection
+        n_pad = pre.shape[1]
+        out = FoldingDense(c, nh, dtype=self.dtype, name="output_proj")(
+            pre.reshape(b, nh, n_pad, 4 * dh)
         )
+        return out[:, :n] if n_pad != n else out
 
 
 class TransformerEncoderLayer(nn.Module):

@@ -175,7 +175,7 @@ def _prep(v, lx, ly, attn, h: int, w: int):
     return tab, gidx, w4.astype(jnp.float32)
 
 
-def _forward_prefold(v, lx, ly, attn, h: int, w: int):
+def _forward_prefold(v, lx, ly, attn, h: int, w: int, keep_pad: bool = False):
     """Pre-fold output (BH, N, 4*dh): the 4 quadrant contributions live in
     separate lane groups. The caller folds them — or better, absorbs the
     fold into the next matmul's weights (see nn.transformer.FoldingDense),
@@ -198,11 +198,17 @@ def _forward_prefold(v, lx, ly, attn, h: int, w: int):
         w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)))
 
     out128 = _sample_pallas(tab, gidx, w4, npts, dh, qc)  # (BH, N_pad, 4*dh)
+    if keep_pad:
+        # let the consumer slice after its next matmul: slicing 1 GB of
+        # prefold rows here would be a pure copy (flagship pad is 2.4%)
+        return out128.astype(v.dtype)
     return out128[:, :n].astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def deformable_sample_combine_pallas_xy_prefold(v, lx, ly, attn, h: int, w: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def deformable_sample_combine_pallas_xy_prefold(
+    v, lx, ly, attn, h: int, w: int, keep_pad: bool = False
+):
     """(BH, N, 4*dh) pre-fold samples — Pallas forward.
 
     GRADIENT CONTRACT: the backward assumes a quadrant-REPLICATED cotangent
@@ -213,25 +219,26 @@ def deformable_sample_combine_pallas_xy_prefold(v, lx, ly, attn, h: int, w: int)
     vjp_prefold(g) == vjp_folded(g[..., :dh]), which is what runs here via
     the XLA patch path (gradient-exact; a dedicated backward kernel is
     future work — forward dominates inference)."""
-    return _forward_prefold(v, lx, ly, attn, h, w)
+    return _forward_prefold(v, lx, ly, attn, h, w, keep_pad)
 
 
-def _fwd(v, lx, ly, attn, h, w):
-    return _forward_prefold(v, lx, ly, attn, h, w), (v, lx, ly, attn)
+def _fwd(v, lx, ly, attn, h, w, keep_pad):
+    return _forward_prefold(v, lx, ly, attn, h, w, keep_pad), (v, lx, ly, attn)
 
 
-def _bwd(h, w, res, g):
+def _bwd(h, w, keep_pad, res, g):
     from .deformable_sampling import deformable_sample_combine_patch_xy
 
     v, lx, ly, attn = res
     dh = v.shape[1]
+    n = lx.shape[2]
     _, vjp = jax.vjp(
         lambda vv, xx, yy, aa: deformable_sample_combine_patch_xy(
             vv, xx, yy, aa, h, w
         ),
         v, lx, ly, attn,
     )
-    return vjp(g[..., :dh])
+    return vjp(g[:, :n, :dh])
 
 
 deformable_sample_combine_pallas_xy_prefold.defvjp(_fwd, _bwd)

@@ -219,6 +219,7 @@ def deformable_sample_combine(
 def deformable_sample_combine_xy(
     v: jnp.ndarray, lx: jnp.ndarray, ly: jnp.ndarray, attn: jnp.ndarray,
     h: int, w: int, impl: str = "auto", prefold: bool = False,
+    keep_pad: bool = False,
 ) -> jnp.ndarray:
     """With prefold=True returns (BH, N, 4*dh): the 4 bilinear-quadrant
     contributions in separate lane groups (sum over groups = the folded
@@ -234,7 +235,7 @@ def deformable_sample_combine_xy(
     if impl == "pallas":
         if prefold:
             return deformable_pallas.deformable_sample_combine_pallas_xy_prefold(
-                v, lx, ly, attn, h, w
+                v, lx, ly, attn, h, w, keep_pad
             )
         return deformable_pallas.deformable_sample_combine_pallas_xy(
             v, lx, ly, attn, h, w

@@ -283,7 +283,11 @@ def add_vovnet_transformer(p: Porter, model_name="vovnet39", lss_version="v2",
     # BEV encoder
     add_convbnrelu_seq(p, "bev_encoder/compress", "bev_encoder.compress")
     add_bev_transformer(p, "bev_encoder/transformer", "bev_encoder.transformer")
-    add_convbnrelu_seq(p, "bev_encoder/seg0", "bev_encoder.seg_head.0")
+    # seg_head is one FLAT Sequential (model_vovnet_transformer.py:146-154):
+    # conv/bn at indices 0/1, 3/4, conv at 6 (a nested .0.0 mapping here was
+    # a porter bug caught by test_reference_stackb_parity)
+    p.conv("bev_encoder/seg0/conv", "bev_encoder.seg_head.0", bias=True)
+    p.bn("bev_encoder/seg0/bn", "bev_encoder.seg_head.1")
     p.conv("bev_encoder/seg1/conv", "bev_encoder.seg_head.3", bias=True)
     p.bn("bev_encoder/seg1/bn", "bev_encoder.seg_head.4")
     p.conv("bev_encoder/seg_out", "bev_encoder.seg_head.6", bias=True)
