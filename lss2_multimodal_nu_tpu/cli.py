@@ -58,7 +58,7 @@ def _build_cfg(args, family: str):
 
 
 def _loaders(cfg, with_txt: bool, split_family: str, test: bool = False, nworkers: int = 8,
-             nondet_aug: bool = False):
+             nondet_aug: bool = False, worker_type: str = "thread"):
     from .data.dataset import NuA2DDataset
     from .data.loader import DataLoader
     from .data.nuscenes_index import NuScenesIndex
@@ -73,7 +73,7 @@ def _loaders(cfg, with_txt: bool, split_family: str, test: bool = False, nworker
         split = "test" if cfg.version == "trainval" else "mini_val"
         ds = NuA2DDataset(nusc, is_train=False, split=split, **common)
         return DataLoader(ds, cfg.train.batch_size, shuffle=False, drop_last=True,
-                          num_workers=nworkers)
+                          num_workers=nworkers, worker_type=worker_type)
     tr = NuA2DDataset(
         nusc, is_train=True,
         rng=None if nondet_aug else np.random.default_rng(cfg.train.seed),
@@ -82,9 +82,9 @@ def _loaders(cfg, with_txt: bool, split_family: str, test: bool = False, nworker
     va = NuA2DDataset(nusc, is_train=False, **common)
     return (
         DataLoader(tr, cfg.train.batch_size, shuffle=True, drop_last=True,
-                   num_workers=nworkers),
+                   num_workers=nworkers, worker_type=worker_type),
         DataLoader(va, cfg.train.batch_size, shuffle=False, drop_last=True,
-                   num_workers=nworkers),
+                   num_workers=nworkers, worker_type=worker_type),
     )
 
 
@@ -160,7 +160,8 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
     cfg = _build_cfg(args, family)
     os.makedirs(cfg.logdir, exist_ok=True)
     trainloader, valloader = _loaders(cfg, with_txt, split_family, nworkers=args.nworkers,
-                                  nondet_aug=args.nondeterministic_aug)
+                                  nondet_aug=args.nondeterministic_aug,
+                                  worker_type=args.worker_type)
 
     model = build_model(cfg)
     sample = next(iter(trainloader))
@@ -199,6 +200,18 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
     preempt = ckpt.PreemptionHandler()
     results_txt = os.path.join(cfg.logdir, args.results_file)
     metrics_jsonl = os.path.join(cfg.logdir, "metrics.jsonl")
+    # wandb run surface (reference train_vovnet_transformer.py:491-517):
+    # init with full config; per-step losses + per-eval metrics; best-mIoU
+    # run summary. No-op unless --wandb and the package is installed.
+    logger = None
+    if args.wandb:
+        from .utils.logging import MetricLogger
+
+        logger = MetricLogger(
+            cfg.logdir, run_name=args.wandb_project, use_wandb=True,
+            wandb_config={"family": family, **dataclasses.asdict(cfg.train),
+                          **dataclasses.asdict(cfg.model)},
+        )
     # stack-B cadence: validate every --eval_every epochs, keep the best-mIoU
     # checkpoint, periodic full checkpoints every --ckpt_every
     # (train_vovnet_transformer.py:550,573-605)
@@ -216,6 +229,8 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                 print(f"Counter{counter} Train_Loss: {loss}")
                 with open(metrics_jsonl, "a") as f:
                     f.write(json.dumps({"step": counter, "loss": loss}) + "\n")
+                if logger:
+                    logger.log(counter, {"train/loss": loss})
         if epoch % max(args.eval_every, 1) == 0:
             info = _evaluate(cfg, model, state.params, state.batch_stats, valloader, mesh=mesh)
             print(info["confmat_str"])
@@ -228,6 +243,14 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                         "Action_mean: {act_mean}\nDescription_mean: {desc_mean}\n".format(**info)
                     )
                 f.write("\n")
+            if logger:
+                logger.log(counter, {
+                    "epoch": epoch, "val/loss": info["loss"],
+                    "val/bev_miou": float(info.get("mean_iou", float("nan"))),
+                    **({"val/action_f1": info["act_mean"],
+                        "val/desc_f1": info["desc_mean"]}
+                       if "act_mean" in info else {}),
+                })
             miou = float(info.get("mean_iou", float("nan")))
             if args.save_best and miou == miou and miou > best_miou:
                 best_miou, best_epoch = miou, epoch
@@ -265,6 +288,11 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
         print(f"epoch time: {time.time() - t_ep:.1f}s")
     if args.save_best and best_epoch >= 0:
         print(f"Best mIoU: {best_miou:.4f} at epoch {best_epoch}")
+        if logger and logger._wandb:
+            logger._wandb.run.summary["best_miou"] = best_miou
+            logger._wandb.run.summary["best_epoch"] = best_epoch
+    if logger:
+        logger.close()
     return state
 
 
@@ -348,6 +376,13 @@ def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-
     p.add_argument("--logdir", default="./result-log/")
     p.add_argument("--bsize", default=bsize, type=int)
     p.add_argument("--nworkers", default=10, type=int)
+    p.add_argument("--wandb", action="store_true",
+                   help="log to wandb (reference :491-517 surface)")
+    p.add_argument("--wandb_project", default="lss2-multimodal-nu-tpu")
+    p.add_argument("--worker_type", default="process",
+                   choices=["thread", "process"],
+                   help="sample-decode workers; 'process' matches the "
+                        "reference's 10 worker processes (data.py:291-299)")
     p.add_argument("--lr", default=lr, type=float)
     p.add_argument("--wdecay", default=wdecay, type=float)
     p.add_argument("--max_grad_norm", default=max_grad_norm, type=float)

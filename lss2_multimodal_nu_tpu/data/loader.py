@@ -4,18 +4,40 @@ Replaces torch DataLoader (reference src/data.py:291-299): shuffle on train,
 drop_last=True on BOTH train and val (Appendix-B quirk preserved for metric
 parity), per-worker seeding, background prefetch.
 
+Worker model: ``worker_type="process"`` decodes samples in worker PROCESSES
+(like the reference's nworkers=10 torch workers) — PIL/cv2 decode of 6
+camera JPEGs per sample serializes under the GIL in thread mode, which
+becomes the input wall on real nu-A2D data. Thread mode stays the default
+for tests/synthetic data (no fork cost, trivially picklable everything).
+
 TPU notes: the loader yields host numpy batches; `prefetch_to_device` overlaps
 H2D transfer with compute. For multi-host meshes each host constructs a loader
 over its own shard of indices (`host_shard`).
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
+
+# Per-worker-process dataset (set once by the pool initializer so tasks ship
+# only an integer index, not the dataset).
+_WORKER_DS = None
+
+
+def _worker_init(dataset, seed_base: int):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+    # reference parity: worker_init_fn seeds numpy per worker (data.py:273)
+    np.random.seed(seed_base + (os.getpid() % 1000))
+
+
+def _worker_get(i: int):
+    return _WORKER_DS[i]
 
 
 class DataLoader:
@@ -29,6 +51,7 @@ class DataLoader:
         seed: int = 13,
         host_shard: tuple = (0, 1),  # (host_index, host_count)
         prefetch: int = 2,
+        worker_type: str = "thread",  # 'thread' | 'process'
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -38,6 +61,8 @@ class DataLoader:
         self.seed = seed
         self.host_index, self.host_count = host_shard
         self.prefetch = prefetch
+        assert worker_type in ("thread", "process")
+        self.worker_type = worker_type
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -61,7 +86,16 @@ class DataLoader:
         self._epoch += 1
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.worker_type == "process":
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                initializer=_worker_init,
+                initargs=(self.dataset, self.seed),
+            )
+            submit = lambda i: pool.submit(_worker_get, i)  # noqa: E731
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            submit = lambda i: pool.submit(self.dataset.__getitem__, i)  # noqa: E731
 
         def collate(items):
             return {
@@ -73,9 +107,7 @@ class DataLoader:
                 futures = []
                 for b in range(nb):
                     chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    futures.append(
-                        [pool.submit(self.dataset.__getitem__, int(i)) for i in chunk]
-                    )
+                    futures.append([submit(int(i)) for i in chunk])
                 for fs in futures:
                     out_q.put(collate([f.result() for f in fs]))
             except Exception as e:  # surface worker errors to the consumer

@@ -32,6 +32,8 @@ def weighted_cross_entropy(
 
     logits: (..., C) float; labels: (...) int.
     """
+    logits = logits.astype(jnp.float32)  # losses always f32 (bf16 logits
+    # would round the loss and its cotangent — selective-precision policy)
     w = jnp.asarray(class_weights, dtype=logits.dtype)
     logp = jnn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
@@ -47,6 +49,7 @@ def bce_with_logits(
 ) -> jnp.ndarray:
     """torch F.binary_cross_entropy_with_logits: per-element weight scales the
     loss (plain mean afterwards); pos_weight scales only the positive term."""
+    logits = logits.astype(jnp.float32)  # losses always f32
     targets = targets.astype(logits.dtype)
     log_sig = jnn.log_sigmoid(logits)
     log_one_minus = jnn.log_sigmoid(-logits)
@@ -110,6 +113,7 @@ def cross_entropy_ignore(
 ) -> jnp.ndarray:
     """torch nn.CrossEntropyLoss(ignore_index=...) — unweighted mean over
     non-ignored pixels (reference pre_train_vovnet.py:373)."""
+    logits = logits.astype(jnp.float32)  # losses always f32
     logp = jnn.log_softmax(logits, axis=-1)
     safe = jnp.where(labels == ignore_index, 0, labels)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]

@@ -158,3 +158,28 @@ def test_train_aug_seeded_reproducible(fixture_root):
     assert not np.array_equal(a[0]["post_rots"], b[0]["post_rots"]) or not np.array_equal(
         a[0]["post_trans"], b[0]["post_trans"]
     )
+
+
+def test_process_pool_loader_matches_thread_loader(fixture_root):
+    """worker_type='process' (the reference's nworkers-processes model,
+    data.py:291-299) must produce identical batches to the thread pool on
+    the deterministic fixture."""
+    nusc = NuScenesIndex("v1.0-mini", fixture_root)
+
+    def make(worker_type):
+        ds = NuA2DDataset(
+            nusc, is_train=False, aug=AugConfig(H=90, W=160), grid=GridConfig(),
+            data_root=fixture_root,
+        )
+        return DataLoader(
+            ds, 2, shuffle=True, drop_last=True, num_workers=2, seed=7,
+            worker_type=worker_type,
+        )
+
+    a = list(make("thread"))
+    b = list(make("process"))
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        assert set(ba) == set(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
