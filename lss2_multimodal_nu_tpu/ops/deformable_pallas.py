@@ -1,9 +1,9 @@
-"""Pallas TPU kernel for deformable-attention sampling.
+"""Pallas TPU kernels for deformable-attention sampling (fwd + bwd).
 
 Matches the semantics of `deformable_sample_combine_patch` (the XLA patch-map
 gather, itself oracle-tested against torch ``F.grid_sample`` — reference
 transformer_modules.py:107-167) but keeps the per-(batch*head) patch table
-**resident in VMEM** (20.7 MB at 200x200, dh=32 — v5e has 128 MB of VMEM) and
+**resident in VMEM** (21 MB at 200x200, dh=32 — v5e has 128 MB of VMEM) and
 gathers rows with per-row dynamic vector loads.
 
 Why this wins (measured on v5e, honest scan-amortized timing):
@@ -12,16 +12,31 @@ Why this wins (measured on v5e, honest scan-amortized timing):
     ~70 M rows/s (150 ms at B=4).
   * the same gather against a VMEM-resident table runs at ~470 M rows/s
     (~2 cycles/row) — VMEM has uniform access cost, so randomness is free.
-  * the (bilinear x attention) quadrant weights are kept compact
-    ((..., 4) per sample) and expanded to 128-lane rows **on the MXU inside
-    the kernel** (w4 @ E with a 0/1 selector matrix), so HBM never sees the
-    expanded weights.
+  * everything narrow stays OFF HBM: the patch table crosses HBM
+    **channel-major** (`tab_T`: full-lane rows, bf16 when the model computes
+    in bf16 — half the DMA) and is transposed to the row-major gather layout
+    per bh **on the MXU inside the kernel** (identity-matrix dots over
+    2048-column chunks, exact via a hi/lo split for f32); the (bilinear x
+    attention) quadrant weights are built in-kernel from compact
+    (wx, wy, attn) operands and expanded to 128-lane rows on the MXU
+    (w4 @ E with a 0/1 selector matrix). HBM never sees a lane-padded
+    narrow tensor or an expanded weight row, and the kernel output is
+    emitted directly in the model's compute dtype.
 
-Layout: one grid step = (one batch*head, one chunk of QC queries). The patch
-table block revisits the same index for all query chunks of a bh, so Pallas
-DMAs it once per bh (~660 MB/s total — 0.8 ms at B=4). Indices live in SMEM
-(scalar reads drive the dynamic row loads); weights and outputs stream
-through VMEM double-buffered.
+Layout: one grid step = (one batch*head, one chunk of QC queries). The
+channel-major table block revisits the same index for all query chunks of a
+bh, so Pallas DMAs it once per bh; indices live in SMEM (scalar reads drive
+the dynamic row loads); weights and outputs stream through VMEM
+double-buffered. The backward kernel accumulates the value-table cotangent
+into a VMEM-resident row-major gradient table (read-modify-write per sampled
+row; the output block revisits across query chunks) and emits per-(point,
+quadrant) dot products from which the location/attention gradients are dense
+elementwise math outside the kernel.
+
+Note: a manual-DMA variant (ANY-space operands + double-buffered chunk
+streaming) hung the Mosaic compiler on this stack; block-mapped windows with
+in-kernel chunked transposes compile fine and the extra double-buffer VMEM
+still fits (see the per-call budgets in `_sample_pallas{,_bwd}`).
 """
 from __future__ import annotations
 
@@ -34,34 +49,93 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Rows gathered per inner-loop step (8 sublanes = one f32 vreg of queries).
 _QGROUP = 8
-# Queries per grid step. 8 MB of expanded weights + 1 MB output per buffer.
+# Queries per grid step, and the table-transpose chunk width.
 _QC = 2048
 # Flipped by tests to run the kernel in the Pallas interpreter on CPU.
 _INTERPRET = False
 
 
-def _kernel(idx_ref, tab_ref, w4_ref, out_ref, wvec_ref, *, npts: int, dh: int):
-    qc = out_ref.shape[1]
-    cw = out_ref.shape[2]
-    # Expand compact quadrant weights (4, npts*qc) to row weights
-    # (npts*qc, 128) on the MXU: E[c, j] = [j // dh == c]. The quadrant axis
-    # is carried as a LEADING axis end-to-end — a trailing size-4 axis would
-    # be lane-padded 4->128 by the TPU layout (32x HBM blow-up). A HIGHEST-
-    # precision dot keeps w4 exact but costs ~12 ms/fwd in 3-pass splitting;
-    # instead split w4 = hi + lo ourselves and run two DEFAULT (bf16-input)
-    # dots: bf16(hi) is exact and lo only carries the low mantissa bits, so
-    # the sum reproduces f32 weights exactly at half the cost.
+def _hilo(t):
+    """Split f32 into (hi, lo) f32 parts such that hi is exactly
+    bf16-representable and hi + lo == t. A DEFAULT-precision MXU dot rounds
+    each operand pass through bf16: hi passes exactly, lo only carries the
+    low mantissa bits (error ~2^-17 relative vs ~2^-8 for a single pass), so
+    two dots reproduce an f32-exact result at half the cost of HIGHEST."""
+    hi = t.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, t - hi
+
+
+def _transpose_chunks(src, tab_ref):
+    """Transpose src (cw, r) -> tab_ref (r, cw) on the MXU via identity
+    dots, one 2048-column chunk at a time (whole-array epilogues were
+    measured to spill ~48 MB of vregs). All slices are static; r is padded
+    to a multiple of the chunk width by `_prep_cm`."""
+    cw, r = src.shape
+    ck = _ck(r)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1)
+    ).astype(jnp.float32)
+    dn = (((0,), (0,)), ((), ()))
+    exact_in_bf16 = src.dtype == jnp.bfloat16
+    for k in range(r // ck):
+        t = src[:, k * ck : (k + 1) * ck].astype(jnp.float32)
+        if exact_in_bf16:  # one pass suffices: values carry <= 8 mantissa bits
+            out = jax.lax.dot_general(
+                t, eye, dn, preferred_element_type=jnp.float32
+            )
+        else:
+            t_hi, t_lo = _hilo(t)
+            out = jax.lax.dot_general(
+                t_hi, eye, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                t_lo, eye, dn, preferred_element_type=jnp.float32
+            )
+        tab_ref[k * ck : (k + 1) * ck, :] = out
+
+
+def _build_wvec_point(wx, wy, a, wvec_ref, *, dh: int, cw: int):
+    """Per-point combined (bilinear x attention) quadrant weights, expanded
+    to row weights (qc, cw) on the MXU: E[c, j] = [j // dh == c]. The
+    quadrant axis is carried LEADING end-to-end — a trailing size-4 axis
+    would be lane-padded 4->128 by the TPU layout (32x HBM blow-up). The
+    expansion dot uses the exact hi/lo split (see `_hilo`)."""
+    w = jnp.concatenate(
+        [
+            (1 - wy) * (1 - wx) * a,
+            (1 - wy) * wx * a,
+            wy * (1 - wx) * a,
+            wy * wx * a,
+        ],
+        axis=0,
+    )  # (4, qc)
     e = (
         jax.lax.broadcasted_iota(jnp.int32, (4, cw), 1) // dh
         == jax.lax.broadcasted_iota(jnp.int32, (4, cw), 0)
     ).astype(jnp.float32)
-    w = w4_ref[0].reshape(4, npts * qc)
-    w_hi = w.astype(jnp.bfloat16).astype(jnp.float32)
-    w_lo = w - w_hi
     dn = (((0,), (0,)), ((), ()))
+    w_hi, w_lo = _hilo(w)
     wvec_ref[:] = jax.lax.dot_general(
         w_hi, e, dn, preferred_element_type=jnp.float32
     ) + jax.lax.dot_general(w_lo, e, dn, preferred_element_type=jnp.float32)
+
+
+def _kernel(
+    idx_ref, tabt_ref, wx_ref, wy_ref, at_ref, out_ref, tab_ref, wvec_ref,
+    *, npts: int, dh: int
+):
+    qc = out_ref.shape[1]
+    cw = out_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _build_tab():
+        _transpose_chunks(tabt_ref[0], tab_ref)
+
+    for p in range(npts):
+        _build_wvec_point(
+            wx_ref[0, p : p + 1, :], wy_ref[0, p : p + 1, :],
+            at_ref[0, p : p + 1, :], wvec_ref.at[p], dh=dh, cw=cw,
+        )
 
     def body(q8, _):
         q0 = q8 * _QGROUP
@@ -69,31 +143,39 @@ def _kernel(idx_ref, tab_ref, w4_ref, out_ref, wvec_ref, *, npts: int, dh: int):
         for p in range(npts):
             rows = jnp.concatenate(
                 [
-                    tab_ref[0, pl.ds(idx_ref[0, p, q0 + s], 1), :]
+                    tab_ref[pl.ds(idx_ref[0, p, q0 + s], 1), :]
                     for s in range(_QGROUP)
                 ],
                 axis=0,
             )
-            acc = acc + rows * wvec_ref[pl.ds(p * qc + q0, _QGROUP), :]
-        out_ref[0, pl.ds(q0, _QGROUP), :] = acc
+            acc = acc + rows * wvec_ref[p, pl.ds(q0, _QGROUP), :]
+        out_ref[0, pl.ds(q0, _QGROUP), :] = acc.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, qc // _QGROUP, body, 0, unroll=False)
 
 
-def _sample_pallas(tab, gidx, w4, npts: int, dh: int, qc: int | None = None):
-    """tab (BH, R_pad, 4*dh) f32; gidx (BH, npts, N_pad) int32;
-    w4 (BH, 4, npts, N_pad) f32 -> (BH, N_pad, 4*dh) f32 (pre-fold).
+def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
+                   qc: int | None = None, out_dtype=jnp.float32):
+    """tabt (BH, 4*dh, R_pad) channel-major patch table (f32 or bf16);
+    gidx (BH, npts, N_pad) int32; wx/wy/attn (BH, npts, N_pad) f32
+    -> (BH, N_pad, 4*dh) pre-fold samples in out_dtype.
+
+    VMEM budget at flagship f32 shapes (R_pad=43008): tabt window 2x22 +
+    tab scratch 22 + wvec 8 + out 2 + weights ~0.4 = ~76 MB (bf16: ~54).
 
     Callers are expected to be inside jit (model apply); `_INTERPRET` is read
     at trace time so tests can run the kernel on CPU."""
-    bh, r_pad, cw = tab.shape
+    bh, cw, r_pad = tabt.shape
     n_pad = gidx.shape[2]
     if qc is None:
         qc = min(_QC, n_pad)
     assert n_pad % qc == 0 and qc % _QGROUP == 0
     grid = (bh, n_pad // qc)
     kern = functools.partial(_kernel, npts=npts, dh=dh)
+    wspec = pl.BlockSpec(
+        (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -102,23 +184,154 @@ def _sample_pallas(tab, gidx, w4, npts: int, dh: int, qc: int | None = None):
                 (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
+                (1, cw, r_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            wspec,
+            wspec,
+            wspec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, qc, cw), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, cw), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r_pad, cw), jnp.float32),
+            pltpu.VMEM((npts, qc, cw), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(gidx, tabt, wx, wy, attn)
+
+
+def _bwd_kernel(
+    idx_ref, tabt_ref, wx_ref, wy_ref, at_ref, g_ref, gtab_ref, rc_ref,
+    tab_ref, wvec_ref, prod_ref, *, npts: int, dh: int
+):
+    """Backward pass over one (bh, query-chunk) grid step, point-major to
+    keep the weight/product scratches at one point's footprint (~1 MB).
+
+    Accumulates ``gtab[row] += wvec_row * g_row`` (the value-table cotangent,
+    exact because the cotangent is quadrant-replicated — see the gradient
+    contract on the forward) into the row-major gradient-table OUTPUT block,
+    which revisits across query chunks (zeroed at chunk 0), and emits the
+    per-(point, query) per-quadrant dot products
+
+        rc[c, p, q] = sum_d tab[gidx[p, q], c*dh + d] * g[q, d]
+
+    from which the caller derives d(attn)/d(lx)/d(ly) with cheap dense math.
+    The lane-group reduction runs on the MXU against a 0/1 selector with the
+    exact hi/lo split, so rc is exact in f32."""
+    qc = g_ref.shape[1]
+    cw = g_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        _transpose_chunks(tabt_ref[0], tab_ref)
+        gtab_ref[...] = jnp.zeros_like(gtab_ref)
+
+    e = (
+        jax.lax.broadcasted_iota(jnp.int32, (4, cw), 1) // dh
+        == jax.lax.broadcasted_iota(jnp.int32, (4, cw), 0)
+    ).astype(jnp.float32)
+    dn = (((1,), (1,)), ((), ()))
+
+    for p in range(npts):
+        _build_wvec_point(
+            wx_ref[0, p : p + 1, :], wy_ref[0, p : p + 1, :],
+            at_ref[0, p : p + 1, :], wvec_ref, dh=dh, cw=cw,
+        )
+
+        def body(q8, _):
+            q0 = q8 * _QGROUP
+            g8 = g_ref[0, pl.ds(q0, _QGROUP), :].astype(jnp.float32)
+            rows = jnp.concatenate(
+                [
+                    tab_ref[pl.ds(idx_ref[0, p, q0 + s], 1), :]
+                    for s in range(_QGROUP)
+                ],
+                axis=0,
+            )
+            prod_ref[pl.ds(q0, _QGROUP), :] = rows * g8
+            gw = wvec_ref[pl.ds(q0, _QGROUP), :] * g8
+            # per-row read-modify-write; sequential, so same-row collisions
+            # within the group accumulate correctly
+            for s in range(_QGROUP):
+                r = idx_ref[0, p, q0 + s]
+                gtab_ref[0, pl.ds(r, 1), :] = (
+                    gtab_ref[0, pl.ds(r, 1), :] + gw[s : s + 1, :]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, qc // _QGROUP, body, 0, unroll=False)
+
+        # lane-group reduction for this point's products
+        pr = prod_ref[...]
+        pr_hi, pr_lo = _hilo(pr)
+        rc_ref[0, :, p] = jax.lax.dot_general(
+            e, pr_hi, dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(e, pr_lo, dn, preferred_element_type=jnp.float32)
+
+
+def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int, qc: int):
+    """tabt (BH, 4*dh, R_pad) channel-major (f32/bf16); gidx (BH, npts, N_pad)
+    int32; wx/wy/attn (BH, npts, N_pad) f32; g (BH, N_pad, 4*dh)
+    quadrant-replicated cotangent
+    -> (gtab (BH, R_pad, 4*dh) f32 row-major, rc (BH, 4, npts, N_pad) f32).
+
+    VMEM budget at flagship f32 shapes: tabt window 2x22 + gtab window 2x22 +
+    tab scratch 22 + wvec 1 + prod 1 + g 2 + rc ~0.5 = ~115 MB (bf16 tabt:
+    ~93) — the reason the scratches here are per-point."""
+    bh, cw, r_pad = tabt.shape
+    n_pad = gidx.shape[2]
+    assert n_pad % qc == 0 and qc % _QGROUP == 0
+    grid = (bh, n_pad // qc)
+    kern = functools.partial(_bwd_kernel, npts=npts, dh=dh)
+    wspec = pl.BlockSpec(
+        (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, cw, r_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            wspec,
+            wspec,
+            wspec,
+            pl.BlockSpec(
+                (1, qc, cw), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
                 (1, r_pad, cw), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 4, npts, qc), lambda b, i: (b, 0, 0, i), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, qc, cw), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, cw), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((npts * qc, cw), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, r_pad, cw), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 4, npts, n_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r_pad, cw), jnp.float32),
+            pltpu.VMEM((qc, cw), jnp.float32),
+            pltpu.VMEM((qc, cw), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=124 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=_INTERPRET,
-    )(gidx, tab, w4)
+    )(gidx, tabt, wx, wy, attn, g)
 
 
 def supports(dh: int) -> bool:
@@ -126,26 +339,36 @@ def supports(dh: int) -> bool:
     return 4 * dh == 128
 
 
-def _prep(v, lx, ly, attn, h: int, w: int):
-    """Shared geometry: padded-anchor indices + combined quadrant weights.
+def _padded_width(h: int, w: int) -> int:
+    """Smallest column count >= w+1 making (h+1)*pw a multiple of 8."""
+    return next(c for c in range(w + 1, w + 9) if (h + 1) * c % 8 == 0)
 
-    Same math as the XLA patch path (align_corners=False, zero padding
-    outside, locations pre-clamped to [0,1] by the caller — reference
-    transformer_modules.py:131,152). x/y locations arrive as separate dense
-    (BH, npts, N) arrays — see deformable_sampling on the trailing-size-2
-    layout trap.
 
-    The table is built with its column count padded so the row count is a
-    multiple of 8 (Mosaic block alignment) — building padded is free, while
-    jnp.pad on the built table copies ~1 GB at flagship shapes."""
-    bh, dh, hw = v.shape
-    npts, n = lx.shape[1], lx.shape[2]
-    # smallest column count >= w+1 making (h+1)*pw a multiple of 8
-    pw = next(c for c in range(w + 1, w + 9) if (h + 1) * c % 8 == 0)
+def _row_pad(r: int) -> int:
+    """Pad the table row count so the in-kernel transpose chunks evenly:
+    to a multiple of _QC when large (chunk = _QC), else to a multiple of
+    128 (single chunk; lane slices must stay 128-aligned)."""
+    if r > _QC:
+        return -(-r // _QC) * _QC
+    return -(-r // 128) * 128
+
+
+def _ck(r: int) -> int:
+    """Transpose chunk width for a row count padded by `_row_pad`."""
+    return _QC if r > _QC else r
+
+
+def _geom(lx, ly, h: int, w: int):
+    """align_corners=False bilinear geometry in f32: padded-anchor row
+    indices into the (h+1, pw) patch table plus fractional weights (wx, wy).
+
+    Same math as the XLA patch path (zero padding outside, locations
+    pre-clamped to [0,1] by the caller — reference
+    transformer_modules.py:131,152)."""
+    pw = _padded_width(h, w)
     r = (h + 1) * pw
-
-    fx = lx * w - 0.5
-    fy = ly * h - 0.5
+    fx = lx.astype(jnp.float32) * w - 0.5
+    fy = ly.astype(jnp.float32) * h - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     wx = fx - x0
@@ -153,26 +376,51 @@ def _prep(v, lx, ly, attn, h: int, w: int):
     ax = x0.astype(jnp.int32) + 1
     ay = y0.astype(jnp.int32) + 1
     gidx = jnp.clip(ay * pw + ax, 0, r - 1)  # (BH, npts, N), per-bh rows
+    return gidx, wx, wy
 
-    w4 = jnp.stack(
-        [
-            (1 - wy) * (1 - wx) * attn,
-            (1 - wy) * wx * attn,
-            wy * (1 - wx) * attn,
-            wy * wx * attn,
-        ],
-        axis=1,
-    )  # (BH, 4, npts, N) — quadrant axis leading (lane-padding trap, see kernel)
 
-    vimg = jnp.moveaxis(v.astype(jnp.float32), 1, 2).reshape(bh, h, w, dh)
+def _prep_cm(v, h: int, w: int):
+    """Channel-major patch table tab_T (BH, 4*dh, R_pad): four quadrant-
+    shifted copies of the zero-padded value map concatenated on the CHANNEL
+    axis. Every tensor in this build keeps a wide trailing dim (h/w-sized),
+    so nothing lane-pads in HBM; the kernel transposes per-bh to the
+    row-major gather layout on the MXU. Kept in v.dtype (bf16 halves the
+    HBM crossing under the mixed-precision policy — the kernel's table
+    scratch and accumulation stay f32)."""
+    bh, dh, hw = v.shape
+    pw = _padded_width(h, w)
     xpad = pw - w  # >= 1; columns beyond w+1 are never addressed (ax <= w)
-    vp = jnp.pad(vimg, ((0, 0), (1, 1), (1, xpad), (0, 0)))
-    tab = jnp.concatenate(
-        [vp[:, :-1, 0:pw], vp[:, :-1, 1 : pw + 1],
-         vp[:, 1:, 0:pw], vp[:, 1:, 1 : pw + 1]],
-        axis=-1,
-    ).reshape(bh, r, 4 * dh)  # (BH, (h+1)*pw, 4*dh)
-    return tab, gidx, w4.astype(jnp.float32)
+    vimg = v.reshape(bh, dh, h, w)
+    vp = jnp.pad(vimg, ((0, 0), (0, 0), (1, 1), (1, xpad)))
+    tabt = jnp.concatenate(
+        [vp[:, :, :-1, 0:pw], vp[:, :, :-1, 1 : pw + 1],
+         vp[:, :, 1:, 0:pw], vp[:, :, 1:, 1 : pw + 1]],
+        axis=1,
+    ).reshape(bh, 4 * dh, (h + 1) * pw)  # (BH, 4*dh, r)
+    # pad rows so the transpose chunks evenly at 128-aligned lane offsets
+    # (fused into the build — jnp.pad on the built table would be a copy)
+    r = tabt.shape[2]
+    r_pad = _row_pad(r)
+    if r_pad != r:
+        tabt = jnp.pad(tabt, ((0, 0), (0, 0), (0, r_pad - r)))
+    return tabt
+
+
+def _choose_qc(n: int) -> tuple[int, int]:
+    """Query-chunk size: multiple of 128 (Mosaic block-dim rule) that divides
+    n if possible (avoids pad copies); small n runs as one full-dim chunk.
+    Returns (qc, n_pad)."""
+    if n <= _QC:
+        qc = -(-n // _QGROUP) * _QGROUP
+    else:
+        qc = next((q for q in range(_QC, 127, -128) if n % q == 0), _QC)
+    return qc, -(-n // qc) * qc
+
+
+def _pad_queries(arrs, n: int, n_pad: int):
+    if n_pad == n:
+        return arrs
+    return [jnp.pad(a, ((0, 0), (0, 0), (0, n_pad - n))) for a in arrs]
 
 
 def _forward_prefold(v, lx, ly, attn, h: int, w: int, keep_pad: bool = False):
@@ -183,26 +431,21 @@ def _forward_prefold(v, lx, ly, attn, h: int, w: int, keep_pad: bool = False):
     output would be lane-padded 4x by the TPU layout)."""
     bh, dh, hw = v.shape
     npts, n = lx.shape[1], lx.shape[2]
-    tab, gidx, w4 = _prep(v, lx, ly, attn, h, w)
+    tabt = _prep_cm(v, h, w)
+    gidx, wx, wy = _geom(lx, ly, h, w)
+    attn32 = attn.astype(jnp.float32)
 
-    r_pad = tab.shape[1]  # built pre-aligned to a multiple of 8 by _prep
-    # chunk size: multiple of 128 (Mosaic block-dim rule) that divides n if
-    # possible (avoids pad copies); small n runs as one full-dim chunk
-    if n <= _QC:
-        qc = -(-n // _QGROUP) * _QGROUP
-    else:
-        qc = next((q for q in range(_QC, 127, -128) if n % q == 0), _QC)
-    n_pad = -(-n // qc) * qc
-    if n_pad != n:
-        gidx = jnp.pad(gidx, ((0, 0), (0, 0), (0, n_pad - n)))
-        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)))
+    qc, n_pad = _choose_qc(n)
+    gidx, wx, wy, attn32 = _pad_queries([gidx, wx, wy, attn32], n, n_pad)
 
-    out128 = _sample_pallas(tab, gidx, w4, npts, dh, qc)  # (BH, N_pad, 4*dh)
+    out128 = _sample_pallas(
+        tabt, gidx, wx, wy, attn32, npts, dh, qc, out_dtype=v.dtype
+    )  # (BH, N_pad, 4*dh), already in v.dtype
     if keep_pad:
         # let the consumer slice after its next matmul: slicing 1 GB of
         # prefold rows here would be a pure copy (flagship pad is 2.4%)
-        return out128.astype(v.dtype)
-    return out128[:, :n].astype(v.dtype)
+        return out128
+    return out128[:, :n]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -216,9 +459,8 @@ def deformable_sample_combine_pallas_xy_prefold(
     output is consumed through a fold-respecting op — summing the groups, or
     nn.transformer.FoldingDense (its W rows are replicated across groups, so
     W_exp^T replicates the cotangent). Under that contract
-    vjp_prefold(g) == vjp_folded(g[..., :dh]), which is what runs here via
-    the XLA patch path (gradient-exact; a dedicated backward kernel is
-    future work — forward dominates inference)."""
+    vjp_prefold(g) == vjp_folded(g[..., :dh]), which runs here through the
+    backward Pallas kernel (`_bwd_kernel`)."""
     return _forward_prefold(v, lx, ly, attn, h, w, keep_pad)
 
 
@@ -226,7 +468,12 @@ def _fwd(v, lx, ly, attn, h, w, keep_pad):
     return _forward_prefold(v, lx, ly, attn, h, w, keep_pad), (v, lx, ly, attn)
 
 
-def _bwd(h, w, keep_pad, res, g):
+# Flipped by tests to exercise the XLA patch-path backward (the oracle).
+_BWD_IMPL = "pallas"
+
+
+def _bwd_xla(h, w, res, g):
+    """Oracle backward: VJP of the XLA patch path on the folded cotangent."""
     from .deformable_sampling import deformable_sample_combine_patch_xy
 
     v, lx, ly, attn = res
@@ -239,6 +486,69 @@ def _bwd(h, w, keep_pad, res, g):
         v, lx, ly, attn,
     )
     return vjp(g[:, :n, :dh])
+
+
+def _bwd_pallas(h, w, res, g):
+    """Kernel backward. Rebuilds the patch table + geometry (cheaper than
+    saving them as residuals), runs `_sample_pallas_bwd`, then derives
+
+      dattn = sum_c bilinear_c * rc_c
+      dlx   = w * attn * ((1-wy)(rc1-rc0) + wy(rc3-rc2))
+      dly   = h * attn * ((1-wx)(rc2-rc0) + wx(rc3-rc1))
+      dv    = quadrant-fold of the row-major gtab (four shifted adds on
+              lane-sliced quadrant groups)
+
+    All math in f32; cotangents cast back to the primal dtypes at the end."""
+    v, lx, ly, attn = res
+    bh, dh, hw = v.shape
+    npts, n = lx.shape[1], lx.shape[2]
+    tabt = _prep_cm(v, h, w)
+    gidx, wx, wy = _geom(lx, ly, h, w)
+    a32 = attn.astype(jnp.float32)
+
+    qc, n_pad = _choose_qc(n)
+    gidx_p, wx_p, wy_p, a32_p = _pad_queries([gidx, wx, wy, a32], n, n_pad)
+    g32 = g.astype(jnp.float32)
+    if g32.shape[1] != n_pad:  # keep_pad=False callers hand back N rows
+        g32 = jnp.pad(g32, ((0, 0), (0, n_pad - g32.shape[1]), (0, 0)))
+
+    gtab, rc = _sample_pallas_bwd(
+        tabt, gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc
+    )
+
+    r0, r1, r2, r3 = (rc[:, c, :, :n] for c in range(4))
+    dattn = (
+        (1 - wy) * (1 - wx) * r0
+        + (1 - wy) * wx * r1
+        + wy * (1 - wx) * r2
+        + wy * wx * r3
+    )
+    dlx = w * a32 * ((1 - wy) * (r1 - r0) + wy * (r3 - r2))
+    dly = h * a32 * ((1 - wx) * (r2 - r0) + wx * (r3 - r1))
+
+    # dv: adjoint of the table build in _prep_cm (vp zero-padded by 1
+    # row/col top-left, xpad cols right; tab quadrants are shifted views)
+    pw = _padded_width(h, w)
+    g4 = gtab[:, : (h + 1) * pw].reshape(bh, h + 1, pw, 4 * dh)
+    gvp = jnp.zeros((bh, h + 2, pw + 1, dh), jnp.float32)
+    gvp = gvp.at[:, :-1, 0:pw].add(g4[..., 0 * dh : 1 * dh])
+    gvp = gvp.at[:, :-1, 1 : pw + 1].add(g4[..., 1 * dh : 2 * dh])
+    gvp = gvp.at[:, 1:, 0:pw].add(g4[..., 2 * dh : 3 * dh])
+    gvp = gvp.at[:, 1:, 1 : pw + 1].add(g4[..., 3 * dh : 4 * dh])
+    dvimg = gvp[:, 1 : 1 + h, 1 : 1 + w]  # (BH, h, w, dh)
+    dv = jnp.moveaxis(dvimg.reshape(bh, hw, dh), 2, 1)  # (BH, dh, HW)
+    return (
+        dv.astype(v.dtype),
+        dlx.astype(lx.dtype),
+        dly.astype(ly.dtype),
+        dattn.astype(attn.dtype),
+    )
+
+
+def _bwd(h, w, keep_pad, res, g):
+    if _BWD_IMPL == "pallas":
+        return _bwd_pallas(h, w, res, g)
+    return _bwd_xla(h, w, res, g)
 
 
 deformable_sample_combine_pallas_xy_prefold.defvjp(_fwd, _bwd)

@@ -87,6 +87,40 @@ def test_gradients_match_patch_path():
         )
 
 
+def test_bf16_values_forward():
+    """bf16 value maps cross HBM in bf16 (channel-major tab_T) but the
+    kernel accumulates in f32; output dtype follows the values."""
+    v, locs, attn = _inputs(6)
+    out16 = jax.jit(
+        lambda a, b, c: dp.deformable_sample_combine_pallas(a, b, c, H, W)
+    )(v.astype(jnp.bfloat16), locs, attn)
+    ref = deformable_sample_combine_patch(v, locs, attn, H, W)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, dtype=np.float32), np.asarray(ref), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_backward_kernel_matches_xla_backward():
+    """_bwd_pallas (gtab-RMW kernel + rc-based dattn/dlx/dly) vs the XLA
+    patch-path VJP on the same residuals, quadrant-replicated cotangent,
+    non-multiple query count (exercises the n_pad path)."""
+    v, locs, attn = _inputs(4)
+    n = N - 3
+    lx, ly = locs[..., 0][:, :, :n], locs[..., 1][:, :, :n]
+    attn = attn[:, :, :n]
+    rng = np.random.default_rng(5)
+    gq = jnp.asarray(rng.normal(size=(BH, n, DH)).astype(np.float32))
+    g = jnp.tile(gq, (1, 1, 4))  # quadrant-replicated, per the contract
+    res = (v, lx, ly, attn)
+    out1 = jax.jit(lambda r, c: dp._bwd_pallas(H, W, r, c))(res, g)
+    out2 = jax.jit(lambda r, c: dp._bwd_xla(H, W, r, c))(res, g)
+    for name, a, b in zip(("dv", "dlx", "dly", "dattn"), out1, out2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
 def test_supports_gate():
     assert dp.supports(32)
     assert not dp.supports(64)
