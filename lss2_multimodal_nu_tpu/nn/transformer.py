@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops import ffn_pallas
 from ..ops.deformable_sampling import deformable_sample_combine_xy
 from .layers import Dtype
 
@@ -190,15 +191,39 @@ class TransformerEncoderLayer(nn.Module):
         src2 = DeformableAttention(
             self.d_model, self.n_heads, dtype=self.dtype, name="self_attn"
         )(q, src, reference_points)
-        src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        linear1 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")
+        linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        u = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
 
-        y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        if (
+            not train
+            and ffn_pallas.enabled_for_backend()
+            and ffn_pallas.supports(self.d_model, self.dim_feedforward)
+        ):
+            # Inference tail fused into one Pallas kernel (norm1 -> FFN ->
+            # residual -> norm2; see ops.ffn_pallas). Zero-width calls
+            # materialize the identical param tree the XLA path would.
+            _ = norm2(norm1(u[:, :0]))
+            _ = linear2(linear1(u[:, :0]))
+            p = lambda m, k: m.variables["params"][k]
+            return ffn_pallas.fused_ffn_ln(
+                u,
+                p(linear1, "kernel"), p(linear1, "bias"),
+                p(linear2, "kernel"), p(linear2, "bias"),
+                p(norm1, "scale"), p(norm1, "bias"),
+                p(norm2, "scale"), p(norm2, "bias"),
+                compute_dtype=self.dtype,
+            )
+
+        src = norm1(u)
+        y = linear1(src)
         y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
+        y = linear2(y)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        return norm2(src)
 
 
 class LightweightBEVTransformer(nn.Module):
