@@ -53,6 +53,10 @@ _QGROUP = 8
 _QC = 2048
 # Flipped by tests to run the kernel in the Pallas interpreter on CPU.
 _INTERPRET = False
+# Forward table sourcing: "kernel" builds the patch table in-kernel from the
+# raw (dh, HW) value map (no HBM patch table at all); "hbm" ships the
+# channel-major table through HBM and transposes in-kernel (fallback).
+_TABLE_BUILD = "kernel"
 
 
 def _hilo(t):
@@ -94,6 +98,64 @@ def _transpose_chunks(src, tab_ref):
         tab_ref[k * ck : (k + 1) * ck, :] = out
 
 
+def _build_table_from_v(v_ref, timg_ref, tab_ref, *, h: int, w: int,
+                        dh: int, pw: int):
+    """Build the row-major patch table (r_pad, 4*dh) f32 in VMEM directly
+    from one bh's raw value map v_ref (1, dh, hw_pad) — no HBM patch table.
+
+    Two steps, both on-chip:
+      1. broadcast-transpose on the MXU: timg[m, :] = v[:, m] replicated
+         across the four dh-lane groups (E[c, j] = [j % dh == c]), chunked
+         128-aligned along hw;
+      2. quadrant assembly: table row (y, x) wants image pixels
+         (y+dy-1, x+dx-1) in lane group g = 2*dy+dx; for each (y, g) that is
+         one contiguous-sublane copy of w rows from timg, lane-masked into
+         tab (read-modify-write; groups occupy disjoint lanes). Rows whose
+         source falls outside the image stay at the pre-zeroed value —
+         exactly grid_sample's zero padding.
+    """
+    hw_pad = v_ref.shape[2]
+    cw = 4 * dh
+    ck = min(_QC, hw_pad)
+    e = (
+        jax.lax.broadcasted_iota(jnp.int32, (dh, cw), 1) % dh
+        == jax.lax.broadcasted_iota(jnp.int32, (dh, cw), 0)
+    ).astype(jnp.float32)
+    dn = (((0,), (0,)), ((), ()))
+    exact_in_bf16 = v_ref.dtype == jnp.bfloat16
+    for k in range(hw_pad // ck):
+        t = v_ref[0, :, k * ck : (k + 1) * ck].astype(jnp.float32)
+        if exact_in_bf16:
+            out = jax.lax.dot_general(
+                t, e, dn, preferred_element_type=jnp.float32
+            )
+        else:
+            t_hi, t_lo = _hilo(t)
+            out = jax.lax.dot_general(
+                t_hi, e, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(t_lo, e, dn, preferred_element_type=jnp.float32)
+        timg_ref[k * ck : (k + 1) * ck, :] = out
+
+    tab_ref[...] = jnp.zeros_like(tab_ref)
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (w, cw), 1) // dh
+
+    def yb(y, _):
+        for g in range(4):
+            dy, dx = g // 2, g % 2
+            yp = y + dy - 1
+            dst = y * pw + (1 - dx)
+
+            @pl.when((yp >= 0) & (yp < h))
+            def _():
+                rows = timg_ref[pl.ds(yp * w, w), :]
+                cur = tab_ref[pl.ds(dst, w), :]
+                tab_ref[pl.ds(dst, w), :] = jnp.where(lane_group == g, rows, cur)
+
+        return 0
+
+    jax.lax.fori_loop(0, h + 1, yb, 0, unroll=False)
+
+
 def _build_wvec_point(wx, wy, a, wvec_ref, *, dh: int, cw: int):
     """Per-point combined (bilinear x attention) quadrant weights, expanded
     to row weights (qc, cw) on the MXU: E[c, j] = [j // dh == c]. The
@@ -122,14 +184,24 @@ def _build_wvec_point(wx, wy, a, wvec_ref, *, dh: int, cw: int):
 
 def _kernel(
     idx_ref, tabt_ref, wx_ref, wy_ref, at_ref, out_ref, tab_ref, wvec_ref,
-    *, npts: int, dh: int
+    *scratch, npts: int, dh: int, geom=None
 ):
+    """geom=None: tabt_ref is the channel-major HBM patch table, transposed
+    to row-major in-kernel. geom=(h, w, pw): tabt_ref is the RAW value map
+    (1, dh, hw_pad) and the patch table is built in-kernel (scratch carries
+    the extra timg buffer)."""
     qc = out_ref.shape[1]
     cw = out_ref.shape[2]
 
     @pl.when(pl.program_id(1) == 0)
     def _build_tab():
-        _transpose_chunks(tabt_ref[0], tab_ref)
+        if geom is None:
+            _transpose_chunks(tabt_ref[0], tab_ref)
+        else:
+            h, w, pw = geom
+            _build_table_from_v(
+                tabt_ref, scratch[0], tab_ref, h=h, w=w, dh=dh, pw=pw
+            )
 
     for p in range(npts):
         _build_wvec_point(
@@ -156,26 +228,42 @@ def _kernel(
 
 
 def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
-                   qc: int | None = None, out_dtype=jnp.float32):
-    """tabt (BH, 4*dh, R_pad) channel-major patch table (f32 or bf16);
+                   qc: int | None = None, out_dtype=jnp.float32,
+                   geom=None, r_pad: int | None = None):
+    """geom=None: tabt (BH, 4*dh, R_pad) channel-major patch table.
+    geom=(h, w, pw): tabt is the RAW value map (BH, dh, hw_pad) and the patch
+    table (r_pad rows) is built in-kernel (pass r_pad explicitly).
     gidx (BH, npts, N_pad) int32; wx/wy/attn (BH, npts, N_pad) f32
     -> (BH, N_pad, 4*dh) pre-fold samples in out_dtype.
 
-    VMEM budget at flagship f32 shapes (R_pad=43008): tabt window 2x22 +
-    tab scratch 22 + wvec 8 + out 2 + weights ~0.4 = ~76 MB (bf16: ~54).
+    VMEM budget at flagship f32 shapes (R_pad=43008): in-kernel build =
+    v window 2x10 + timg 21 + tab 22 + wvec 8 + out 2x1 + weights ~0.4
+    = ~65 MB (bf16 v: ~55); hbm mode = tabt window 2x22 + tab 22 + wvec 8
+    + out 2 + weights ~0.4 = ~76 MB (bf16: ~54).
 
     Callers are expected to be inside jit (model apply); `_INTERPRET` is read
     at trace time so tests can run the kernel on CPU."""
-    bh, cw, r_pad = tabt.shape
+    bh = tabt.shape[0]
+    if geom is None:
+        cw, r_pad = tabt.shape[1], tabt.shape[2]
+    else:
+        cw = 4 * dh
+        assert r_pad is not None
     n_pad = gidx.shape[2]
     if qc is None:
         qc = min(_QC, n_pad)
     assert n_pad % qc == 0 and qc % _QGROUP == 0
     grid = (bh, n_pad // qc)
-    kern = functools.partial(_kernel, npts=npts, dh=dh)
+    kern = functools.partial(_kernel, npts=npts, dh=dh, geom=geom)
     wspec = pl.BlockSpec(
         (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
     )
+    scratch = [
+        pltpu.VMEM((r_pad, cw), jnp.float32),
+        pltpu.VMEM((npts, qc, cw), jnp.float32),
+    ]
+    if geom is not None:
+        scratch.append(pltpu.VMEM((tabt.shape[2], cw), jnp.float32))
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -184,7 +272,9 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
                 (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, cw, r_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, tabt.shape[1], tabt.shape[2]),
+                lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             wspec,
             wspec,
@@ -194,10 +284,7 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
             (1, qc, cw), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, cw), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((r_pad, cw), jnp.float32),
-            pltpu.VMEM((npts, qc, cw), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -208,7 +295,7 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
 
 def _bwd_kernel(
     idx_ref, tabt_ref, wx_ref, wy_ref, at_ref, g_ref, gtab_ref, rc_ref,
-    tab_ref, wvec_ref, prod_ref, *, npts: int, dh: int
+    tab_ref, wvec_ref, prod_ref, *scratch, npts: int, dh: int, geom=None
 ):
     """Backward pass over one (bh, query-chunk) grid step, point-major to
     keep the weight/product scratches at one point's footprint (~1 MB).
@@ -229,7 +316,13 @@ def _bwd_kernel(
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        _transpose_chunks(tabt_ref[0], tab_ref)
+        if geom is None:
+            _transpose_chunks(tabt_ref[0], tab_ref)
+        else:
+            h, w, pw = geom
+            _build_table_from_v(
+                tabt_ref, scratch[0], tab_ref, h=h, w=w, dh=dh, pw=pw
+            )
         gtab_ref[...] = jnp.zeros_like(gtab_ref)
 
     e = (
@@ -275,20 +368,28 @@ def _bwd_kernel(
         ) + jax.lax.dot_general(e, pr_lo, dn, preferred_element_type=jnp.float32)
 
 
-def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int, qc: int):
-    """tabt (BH, 4*dh, R_pad) channel-major (f32/bf16); gidx (BH, npts, N_pad)
-    int32; wx/wy/attn (BH, npts, N_pad) f32; g (BH, N_pad, 4*dh)
-    quadrant-replicated cotangent
+def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
+                       qc: int, geom=None, r_pad: int | None = None):
+    """geom=None: tabt (BH, 4*dh, R_pad) channel-major (f32/bf16);
+    geom=(h, w, pw): tabt is the RAW value map (BH, dh, hw_pad), table built
+    in-kernel (pass r_pad). gidx (BH, npts, N_pad) int32; wx/wy/attn
+    (BH, npts, N_pad) f32; g (BH, N_pad, 4*dh) quadrant-replicated cotangent
     -> (gtab (BH, R_pad, 4*dh) f32 row-major, rc (BH, 4, npts, N_pad) f32).
 
-    VMEM budget at flagship f32 shapes: tabt window 2x22 + gtab window 2x22 +
-    tab scratch 22 + wvec 1 + prod 1 + g 2 + rc ~0.5 = ~115 MB (bf16 tabt:
-    ~93) — the reason the scratches here are per-point."""
-    bh, cw, r_pad = tabt.shape
+    VMEM budget at flagship f32 shapes: in-kernel build = v window 2x10 +
+    timg 21 + tab 22 + gtab window 2x22 + wvec 1 + prod 1 + g 2 + rc ~0.5
+    = ~101 MB (bf16 v: ~86); hbm mode = tabt window 2x22 + gtab 2x22 + tab
+    22 + ... = ~115 MB — the reason the scratches here are per-point."""
+    bh = tabt.shape[0]
+    if geom is None:
+        cw, r_pad = tabt.shape[1], tabt.shape[2]
+    else:
+        cw = 4 * dh
+        assert r_pad is not None
     n_pad = gidx.shape[2]
     assert n_pad % qc == 0 and qc % _QGROUP == 0
     grid = (bh, n_pad // qc)
-    kern = functools.partial(_bwd_kernel, npts=npts, dh=dh)
+    kern = functools.partial(_bwd_kernel, npts=npts, dh=dh, geom=geom)
     wspec = pl.BlockSpec(
         (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
     )
@@ -300,7 +401,9 @@ def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int, qc: int)
                 (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, cw, r_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, tabt.shape[1], tabt.shape[2]),
+                lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             wspec,
             wspec,
@@ -321,11 +424,14 @@ def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int, qc: int)
             jax.ShapeDtypeStruct((bh, r_pad, cw), jnp.float32),
             jax.ShapeDtypeStruct((bh, 4, npts, n_pad), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((r_pad, cw), jnp.float32),
-            pltpu.VMEM((qc, cw), jnp.float32),
-            pltpu.VMEM((qc, cw), jnp.float32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((r_pad, cw), jnp.float32),
+                pltpu.VMEM((qc, cw), jnp.float32),
+                pltpu.VMEM((qc, cw), jnp.float32),
+            ]
+            + ([pltpu.VMEM((tabt.shape[2], cw), jnp.float32)] if geom is not None else [])
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=124 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -423,6 +529,14 @@ def _pad_queries(arrs, n: int, n_pad: int):
     return [jnp.pad(a, ((0, 0), (0, 0), (0, n_pad - n))) for a in arrs]
 
 
+def _hw_pad(hw: int) -> int:
+    """Pad the value-map pixel count so in-kernel transpose chunks are
+    128-lane-aligned: multiple of _QC when large, else of 128."""
+    if hw > _QC:
+        return -(-hw // _QC) * _QC
+    return -(-hw // 128) * 128
+
+
 def _forward_prefold(v, lx, ly, attn, h: int, w: int, keep_pad: bool = False):
     """Pre-fold output (BH, N, 4*dh): the 4 quadrant contributions live in
     separate lane groups. The caller folds them — or better, absorbs the
@@ -431,16 +545,26 @@ def _forward_prefold(v, lx, ly, attn, h: int, w: int, keep_pad: bool = False):
     output would be lane-padded 4x by the TPU layout)."""
     bh, dh, hw = v.shape
     npts, n = lx.shape[1], lx.shape[2]
-    tabt = _prep_cm(v, h, w)
     gidx, wx, wy = _geom(lx, ly, h, w)
     attn32 = attn.astype(jnp.float32)
 
     qc, n_pad = _choose_qc(n)
     gidx, wx, wy, attn32 = _pad_queries([gidx, wx, wy, attn32], n, n_pad)
 
-    out128 = _sample_pallas(
-        tabt, gidx, wx, wy, attn32, npts, dh, qc, out_dtype=v.dtype
-    )  # (BH, N_pad, 4*dh), already in v.dtype
+    if _TABLE_BUILD == "kernel":
+        # no HBM patch table: ship the raw value map, build on-chip
+        pw = _padded_width(h, w)
+        hwp = _hw_pad(hw)
+        vk = jnp.pad(v, ((0, 0), (0, 0), (0, hwp - hw))) if hwp != hw else v
+        out128 = _sample_pallas(
+            vk, gidx, wx, wy, attn32, npts, dh, qc, out_dtype=v.dtype,
+            geom=(h, w, pw), r_pad=_row_pad((h + 1) * pw),
+        )
+    else:
+        tabt = _prep_cm(v, h, w)
+        out128 = _sample_pallas(
+            tabt, gidx, wx, wy, attn32, npts, dh, qc, out_dtype=v.dtype
+        )  # (BH, N_pad, 4*dh), already in v.dtype
     if keep_pad:
         # let the consumer slice after its next matmul: slicing 1 GB of
         # prefold rows here would be a pure copy (flagship pad is 2.4%)
@@ -502,7 +626,6 @@ def _bwd_pallas(h, w, res, g):
     v, lx, ly, attn = res
     bh, dh, hw = v.shape
     npts, n = lx.shape[1], lx.shape[2]
-    tabt = _prep_cm(v, h, w)
     gidx, wx, wy = _geom(lx, ly, h, w)
     a32 = attn.astype(jnp.float32)
 
@@ -512,9 +635,18 @@ def _bwd_pallas(h, w, res, g):
     if g32.shape[1] != n_pad:  # keep_pad=False callers hand back N rows
         g32 = jnp.pad(g32, ((0, 0), (0, n_pad - g32.shape[1]), (0, 0)))
 
-    gtab, rc = _sample_pallas_bwd(
-        tabt, gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc
-    )
+    if _TABLE_BUILD == "kernel":
+        pw = _padded_width(h, w)
+        hwp = _hw_pad(hw)
+        vk = jnp.pad(v, ((0, 0), (0, 0), (0, hwp - hw))) if hwp != hw else v
+        gtab, rc = _sample_pallas_bwd(
+            vk, gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc,
+            geom=(h, w, pw), r_pad=_row_pad((h + 1) * pw),
+        )
+    else:
+        gtab, rc = _sample_pallas_bwd(
+            _prep_cm(v, h, w), gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc
+        )
 
     r0, r1, r2, r3 = (rc[:, c, :, :n] for c in range(4))
     dattn = (
