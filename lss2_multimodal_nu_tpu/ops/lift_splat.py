@@ -18,11 +18,16 @@ the reference's cumsum-difference trick.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# 'auto' routes to the fused Pallas kernel on TPU (lift_splat_pallas) and the
+# XLA segment-sum path elsewhere; 'xla' forces the XLA path (tests/ablation).
+_IMPL = "auto"
 
 
 def lift(feat: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
@@ -72,6 +77,46 @@ def splat(
     return jnp.moveaxis(bev, 1, 3).reshape(B, X, Y, Z * C)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_lift_splat_op(feat2, depth_w, seg, fidx, n_voxels):
+    """feat2 (B, R, C), depth_w (B, P) validity-masked lift weights,
+    seg/fidx (B, P) int32 -> (B, n_voxels, C). Linear in (feat2, depth_w);
+    forward runs the fused Pallas kernel, backward the XLA gather (the
+    segment-sum VJP == QuickCumsum backward, tools.py:210-218)."""
+    from .lift_splat_pallas import fused_lift_splat
+
+    return fused_lift_splat(feat2, depth_w, seg, fidx, n_voxels)
+
+
+def _fused_fwd(feat2, depth_w, seg, fidx, n_voxels):
+    return _fused_lift_splat_op(feat2, depth_w, seg, fidx, n_voxels), (
+        feat2, depth_w, seg, fidx,
+    )
+
+
+def _fused_bwd(n_voxels, res, g):
+    feat2, depth_w, seg, fidx = res
+    b, r, c = feat2.shape
+    p = depth_w.shape[1]
+    g32 = g.astype(jnp.float32)
+    g_rows = jnp.take_along_axis(g32, seg[..., None], axis=1)  # (B, P, C)
+    feat_rows = jnp.take_along_axis(
+        feat2.astype(jnp.float32), fidx[..., None], axis=1
+    )
+    ddepth = jnp.einsum("bpc,bpc->bp", g_rows, feat_rows).astype(depth_w.dtype)
+    fseg = fidx + (jnp.arange(b, dtype=jnp.int32) * r)[:, None]
+    dfeat = jax.ops.segment_sum(
+        (depth_w[..., None].astype(jnp.float32) * g_rows).reshape(b * p, c),
+        fseg.reshape(b * p),
+        num_segments=b * r,
+    ).reshape(b, r, c).astype(feat2.dtype)
+    f0 = np.zeros(seg.shape, dtype=jax.dtypes.float0)
+    return dfeat, ddepth, f0, f0
+
+
+_fused_lift_splat_op.defvjp(_fused_fwd, _fused_bwd)
+
+
 def lift_splat(
     feat: jnp.ndarray,
     depth: jnp.ndarray,
@@ -95,6 +140,31 @@ def lift_splat(
     """
     B, N, D, fH, fW = depth.shape
     C = feat.shape[-1]
+    X, Y, Z = int(nx[0]), int(nx[1]), int(nx[2])
+    P = N * D * fH * fW
+
+    from .lift_splat_pallas import enabled_for_backend
+
+    if _IMPL != "xla" and not camera_chunked and enabled_for_backend() \
+            and (Z * X * Y) % 8 == 0:
+        # Fused Pallas path: the (B, P, C) frustum tensor never materializes.
+        idx_f = idx.reshape(B, P, 3)
+        valid_f = valid.reshape(B, P)
+        seg = (idx_f[..., 2] * X + idx_f[..., 0]) * Y + idx_f[..., 1]
+        seg = jnp.where(valid_f, seg, 0)
+        depth_w = jnp.where(valid_f, depth.reshape(B, P), 0).astype(jnp.float32)
+        # point p = (n, d, fh, fw) row-major reads feature row (n, fh, fw)
+        nn, dd, hh, ww = np.meshgrid(
+            np.arange(N), np.arange(D), np.arange(fH), np.arange(fW),
+            indexing="ij",
+        )
+        fidx1 = ((nn * fH + hh) * fW + ww).reshape(P).astype(np.int32)
+        fidx = jnp.broadcast_to(jnp.asarray(fidx1)[None], (B, P))
+        bev = _fused_lift_splat_op(
+            feat.reshape(B, N * fH * fW, C), depth_w, seg, fidx, Z * X * Y
+        )  # (B, Z*X*Y, C)
+        bev = bev.reshape(B, Z, X, Y, C)
+        return jnp.moveaxis(bev, 1, 3).reshape(B, X, Y, Z * C)
 
     if not camera_chunked:
         pts = lift(feat, depth)  # (B, N, D, fH, fW, C)
