@@ -302,17 +302,24 @@ def _bwd_kernel(
 
     Accumulates ``gtab[row] += wvec_row * g_row`` (the value-table cotangent,
     exact because the cotangent is quadrant-replicated — see the gradient
-    contract on the forward) into the row-major gradient-table OUTPUT block,
-    which revisits across query chunks (zeroed at chunk 0), and emits the
-    per-(point, query) per-quadrant dot products
+    contract on the forward), and emits the per-(point, query) per-quadrant
+    dot products
 
         rc[c, p, q] = sum_d tab[gidx[p, q], c*dh + d] * g[q, d]
 
     from which the caller derives d(attn)/d(lx)/d(ly) with cheap dense math.
     The lane-group reduction runs on the MXU against a 0/1 selector with the
-    exact hi/lo split, so rc is exact in f32."""
+    exact hi/lo split, so rc is exact in f32.
+
+    geom=None (hbm mode): gtab_ref is the row-major gradient-table OUTPUT
+    block, revisited across query chunks (zeroed at chunk 0); the caller
+    folds it to dv in XLA. geom=(h, w, pw): the gradient table lives in a
+    VMEM scratch and the quadrant fold + channel-major transpose happen in
+    the kernel epilogue — gtab_ref is then the (1, dh, hw_pad) dv OUTPUT
+    and the 170+ MB gradient table never crosses HBM."""
     qc = g_ref.shape[1]
     cw = g_ref.shape[2]
+    gacc_ref = gtab_ref if geom is None else scratch[1]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -323,7 +330,7 @@ def _bwd_kernel(
             _build_table_from_v(
                 tabt_ref, scratch[0], tab_ref, h=h, w=w, dh=dh, pw=pw
             )
-        gtab_ref[...] = jnp.zeros_like(gtab_ref)
+        gacc_ref[...] = jnp.zeros_like(gacc_ref)
 
     e = (
         jax.lax.broadcasted_iota(jnp.int32, (4, cw), 1) // dh
@@ -353,9 +360,14 @@ def _bwd_kernel(
             # within the group accumulate correctly
             for s in range(_QGROUP):
                 r = idx_ref[0, p, q0 + s]
-                gtab_ref[0, pl.ds(r, 1), :] = (
-                    gtab_ref[0, pl.ds(r, 1), :] + gw[s : s + 1, :]
-                )
+                if geom is None:
+                    gtab_ref[0, pl.ds(r, 1), :] = (
+                        gtab_ref[0, pl.ds(r, 1), :] + gw[s : s + 1, :]
+                    )
+                else:
+                    gacc_ref[pl.ds(r, 1), :] = (
+                        gacc_ref[pl.ds(r, 1), :] + gw[s : s + 1, :]
+                    )
             return 0
 
         jax.lax.fori_loop(0, qc // _QGROUP, body, 0, unroll=False)
@@ -366,6 +378,49 @@ def _bwd_kernel(
         rc_ref[0, :, p] = jax.lax.dot_general(
             e, pr_hi, dn, preferred_element_type=jnp.float32
         ) + jax.lax.dot_general(e, pr_lo, dn, preferred_element_type=jnp.float32)
+
+    if geom is not None:
+        # Epilogue on the LAST query chunk: quadrant-fold the accumulated
+        # gradient table back to image pixels (adjoint of the assembly in
+        # `_build_table_from_v`), then transpose-with-fold on the MXU to the
+        # channel-major dv output. Reuses the timg scratch as the prefold
+        # buffer — its forward contents are no longer needed.
+        @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+        def _fold_dv():
+            h, w, pw = geom
+            timg_ref = scratch[0]
+            hw_pad = timg_ref.shape[0]
+            timg_ref[...] = jnp.zeros_like(timg_ref)
+            lane_group = jax.lax.broadcasted_iota(jnp.int32, (w, cw), 1) // dh
+
+            def yb(yp, _):
+                for gq in range(4):
+                    dyq, dxq = gq // 2, gq % 2
+                    src = (yp + 1 - dyq) * pw + (1 - dxq)
+                    rows = gacc_ref[pl.ds(src, w), :]
+                    cur = timg_ref[pl.ds(yp * w, w), :]
+                    timg_ref[pl.ds(yp * w, w), :] = cur + jnp.where(
+                        lane_group == gq, rows, 0.0
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, h, yb, 0, unroll=False)
+
+            # dv_cm[d, m] = sum_g timg[m, g*dh + d]
+            e4 = (
+                jax.lax.broadcasted_iota(jnp.int32, (dh, cw), 1) % dh
+                == jax.lax.broadcasted_iota(jnp.int32, (dh, cw), 0)
+            ).astype(jnp.float32)
+            dn4 = (((1,), (1,)), ((), ()))
+            ckv = min(_QC, hw_pad)
+            for k in range(hw_pad // ckv):
+                t = timg_ref[k * ckv : (k + 1) * ckv, :]
+                t_hi, t_lo = _hilo(t)
+                gtab_ref[0, :, k * ckv : (k + 1) * ckv] = jax.lax.dot_general(
+                    e4, t_hi, dn4, preferred_element_type=jnp.float32
+                ) + jax.lax.dot_general(
+                    e4, t_lo, dn4, preferred_element_type=jnp.float32
+                )
 
 
 def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
@@ -413,15 +468,27 @@ def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
             ),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, r_pad, cw), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            (
+                pl.BlockSpec(
+                    (1, r_pad, cw), lambda b, i: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                if geom is None
+                else pl.BlockSpec(
+                    (1, dh, tabt.shape[2]), lambda b, i: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
             ),
             pl.BlockSpec(
                 (1, 4, npts, qc), lambda b, i: (b, 0, 0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, r_pad, cw), jnp.float32),
+            (
+                jax.ShapeDtypeStruct((bh, r_pad, cw), jnp.float32)
+                if geom is None
+                else jax.ShapeDtypeStruct((bh, dh, tabt.shape[2]), jnp.float32)
+            ),
             jax.ShapeDtypeStruct((bh, 4, npts, n_pad), jnp.float32),
         ],
         scratch_shapes=(
@@ -430,7 +497,14 @@ def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
                 pltpu.VMEM((qc, cw), jnp.float32),
                 pltpu.VMEM((qc, cw), jnp.float32),
             ]
-            + ([pltpu.VMEM((tabt.shape[2], cw), jnp.float32)] if geom is not None else [])
+            + (
+                [
+                    pltpu.VMEM((tabt.shape[2], cw), jnp.float32),  # timg
+                    pltpu.VMEM((r_pad, cw), jnp.float32),  # gradient table
+                ]
+                if geom is not None
+                else []
+            )
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=124 * 1024 * 1024,
@@ -639,10 +713,11 @@ def _bwd_pallas(h, w, res, g):
         pw = _padded_width(h, w)
         hwp = _hw_pad(hw)
         vk = jnp.pad(v, ((0, 0), (0, 0), (0, hwp - hw))) if hwp != hw else v
-        gtab, rc = _sample_pallas_bwd(
+        dv_cm, rc = _sample_pallas_bwd(
             vk, gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc,
             geom=(h, w, pw), r_pad=_row_pad((h + 1) * pw),
         )
+        dv = dv_cm[:, :, :hw]  # (BH, dh, HW), folded + transposed in-kernel
     else:
         gtab, rc = _sample_pallas_bwd(
             _prep_cm(v, h, w), gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc
@@ -658,17 +733,18 @@ def _bwd_pallas(h, w, res, g):
     dlx = w * a32 * ((1 - wy) * (r1 - r0) + wy * (r3 - r2))
     dly = h * a32 * ((1 - wx) * (r2 - r0) + wx * (r3 - r1))
 
-    # dv: adjoint of the table build in _prep_cm (vp zero-padded by 1
-    # row/col top-left, xpad cols right; tab quadrants are shifted views)
-    pw = _padded_width(h, w)
-    g4 = gtab[:, : (h + 1) * pw].reshape(bh, h + 1, pw, 4 * dh)
-    gvp = jnp.zeros((bh, h + 2, pw + 1, dh), jnp.float32)
-    gvp = gvp.at[:, :-1, 0:pw].add(g4[..., 0 * dh : 1 * dh])
-    gvp = gvp.at[:, :-1, 1 : pw + 1].add(g4[..., 1 * dh : 2 * dh])
-    gvp = gvp.at[:, 1:, 0:pw].add(g4[..., 2 * dh : 3 * dh])
-    gvp = gvp.at[:, 1:, 1 : pw + 1].add(g4[..., 3 * dh : 4 * dh])
-    dvimg = gvp[:, 1 : 1 + h, 1 : 1 + w]  # (BH, h, w, dh)
-    dv = jnp.moveaxis(dvimg.reshape(bh, hw, dh), 2, 1)  # (BH, dh, HW)
+    if _TABLE_BUILD != "kernel":
+        # dv: adjoint of the table build in _prep_cm (vp zero-padded by 1
+        # row/col top-left, xpad cols right; tab quadrants are shifted views)
+        pw = _padded_width(h, w)
+        g4 = gtab[:, : (h + 1) * pw].reshape(bh, h + 1, pw, 4 * dh)
+        gvp = jnp.zeros((bh, h + 2, pw + 1, dh), jnp.float32)
+        gvp = gvp.at[:, :-1, 0:pw].add(g4[..., 0 * dh : 1 * dh])
+        gvp = gvp.at[:, :-1, 1 : pw + 1].add(g4[..., 1 * dh : 2 * dh])
+        gvp = gvp.at[:, 1:, 0:pw].add(g4[..., 2 * dh : 3 * dh])
+        gvp = gvp.at[:, 1:, 1 : pw + 1].add(g4[..., 3 * dh : 4 * dh])
+        dvimg = gvp[:, 1 : 1 + h, 1 : 1 + w]  # (BH, h, w, dh)
+        dv = jnp.moveaxis(dvimg.reshape(bh, hw, dh), 2, 1)  # (BH, dh, HW)
     return (
         dv.astype(v.dtype),
         dlx.astype(lx.dtype),
