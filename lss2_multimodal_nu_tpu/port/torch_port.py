@@ -150,8 +150,11 @@ def add_efficientnet_trunk(p: Porter, flax: str, torch: str, variant: str):
             idx += 1
 
 
-def add_encoder(p: Porter, flax: str, torch: str, variant: str):
-    add_efficientnet_trunk(p, f"{flax}/trunk", f"{torch}.trunk", variant)
+def add_encoder(p: Porter, flax: str, torch: str, variant: str, trunk=True):
+    """trunk=False skips the EfficientNet mapping (full-model parity tests
+    swap in a stub trunk and map its weights themselves)."""
+    if trunk:
+        add_efficientnet_trunk(p, f"{flax}/trunk", f"{torch}.trunk", variant)
     add_up(p, f"{flax}/up1", f"{torch}.up1")
 
 
@@ -193,17 +196,18 @@ def add_sceneunder(p: Porter, flax: str, torch: str):
     add_aspp(p, f"{flax}/aspp", f"{torch}.0")
 
 
-def add_lss(p: Porter, flax_prefix: str, torch_prefix: str, variant: str):
+def add_lss(p: Porter, flax_prefix: str, torch_prefix: str, variant: str,
+            trunk=True):
     fx = (flax_prefix + "/") if flax_prefix else ""
     tc = (torch_prefix + ".") if torch_prefix else ""
-    add_encoder(p, f"{fx}encoder", f"{tc}encoder", variant)
+    add_encoder(p, f"{fx}encoder", f"{tc}encoder", variant, trunk=trunk)
     p.conv(f"{fx}camencode/depthnet", f"{tc}camencode.depthnet", bias=True)
     add_bevencode(p, f"{fx}bevencode", f"{tc}bevencode")
 
 
-def add_bev_txt(p: Porter, variant: str = "b4"):
+def add_bev_txt(p: Porter, variant: str = "b4", trunk=True):
     """BevTxt <- model_BEV_TXT.BEV_TXT state dict (flat, no prefix)."""
-    add_lss(p, "lss", "", variant)
+    add_lss(p, "lss", "", variant, trunk=trunk)
     add_sceneunder(p, "sceneunder", "sceneunder")
     add_bevpost(p, "bevpost", "bevpost")
     p.conv_bn("embeder_f1/conv", "embeder_f1.0", "embeder_f1.1")
@@ -268,10 +272,14 @@ def add_bev_transformer(p: Porter, flax: str, torch: str):
 
 
 def add_vovnet_transformer(p: Porter, model_name="vovnet39", lss_version="v2",
-                           use_camera_attn=True, use_cross_attn=True):
+                           use_camera_attn=True, use_cross_attn=True,
+                           backbone=True):
     """VoVNetBEVTransformer <- model_vovnet_transformer state dict. The timm
-    backbone nests one level deeper (backbone.backbone = timm model)."""
-    add_vovnet_timm(p, "backbone", "backbone.backbone", model_name)
+    backbone nests one level deeper (backbone.backbone = timm model).
+    backbone=False skips the trunk mapping (full-model parity tests swap in
+    a stub backbone and map its weights themselves)."""
+    if backbone:
+        add_vovnet_timm(p, "backbone", "backbone.backbone", model_name)
     if lss_version == "v2":
         add_depth_head(p, "depth_net/depth_c3", "depth_net.depth_c3")
         add_depth_head(p, "depth_net/depth_c4", "depth_net.depth_c4")
