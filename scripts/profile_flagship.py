@@ -1,0 +1,194 @@
+"""Per-stage timing of the flagship forward on the real TPU chip.
+
+Breaks VoVNetBEVTransformer.__call__ into its pipeline stages and times each
+with the same floor-subtracted, scan-amortized methodology as bench.py, so the
+stage times sum (approximately) to the end-to-end frame time.
+
+Usage: python scripts/profile_flagship.py [batch] [dtype]
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import measure_floor
+    from lss2_multimodal_nu_tpu.config import Config, ModelConfig
+    from lss2_multimodal_nu_tpu.models.factory import build_model
+    from __graft_entry__ import _fake_inputs
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    cfg = Config(
+        model=ModelConfig(
+            family="vovnet_transformer", vovnet_type="vovnet39", lss_version="v2",
+            effnet_variant="b4", compute_dtype=dtype,
+        )
+    )
+    model = build_model(cfg)
+    inputs = _fake_inputs(b=batch, seed=0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+    floor = measure_floor(jax, jnp)
+    print(f"call floor: {floor*1e3:.1f} ms")
+
+    K, M = 6, 3
+
+    def timed(name, fn, *stacked_args):
+        """fn(*unstacked) -> pytree; args are stacked along a leading K axis."""
+
+        @jax.jit
+        def run(va, args):
+            def one(t):
+                out = fn(va, *t)
+                leaves = jax.tree.leaves(out)
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in leaves)
+
+            return jnp.sum(jax.lax.map(one, args))
+
+        args = jax.block_until_ready(stacked_args)
+        float(run(variables, args))
+        best = float("inf")
+        for _ in range(M):
+            t0 = time.time()
+            float(run(variables, args))
+            best = min(best, time.time() - t0)
+        ms = max(best - floor, 0.0) / K * 1e3
+        print(f"{name:34s} {ms:8.2f} ms   ({ms/batch:6.2f} ms/frame)")
+        return ms
+
+    # ---- precompute stage inputs on device (one jit, real values) ----
+    b, n = batch, 6
+
+    @jax.jit
+    def prefix(va, imgs, rots, trans, intrins, post_rots, post_trans):
+        def go(mod, imgs, rots, trans, intrins, post_rots, post_trans):
+            x = imgs.reshape(b * n, *imgs.shape[2:])
+            feats = mod.backbone(x, False)
+            c3, c4 = feats["c3"], feats["c4"]
+            depth = mod.depth_net(c3, c4, False)
+            feat = mod.cam_encode(c3)
+            fh, fw = feat.shape[1], feat.shape[2]
+            from lss2_multimodal_nu_tpu.core.geometry import (
+                get_geometry,
+                voxel_indices,
+            )
+            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
+
+            dep = jnp.moveaxis(depth.reshape(b, n, fh, fw, mod.depth_bins), -1, 2)
+            fe = feat.reshape(b, n, fh, fw, mod.cam_c)
+            geom = get_geometry(
+                jnp.asarray(mod.frustum), rots, trans, intrins, post_rots, post_trans
+            )
+            idx, valid = voxel_indices(geom, mod.dx, mod.bx, mod.nx)
+            bev_feats = lift_splat(fe, dep, idx, valid, mod.nx)
+            bev_seg, bev_refined = mod.bev_encoder(bev_feats, False)
+            pyr = mod.feature_pyramid(c3, False)
+            return c3, c4, feat, depth, idx, valid, bev_feats, bev_refined, pyr
+
+        return model.apply(va, imgs, rots, trans, intrins, post_rots, post_trans, method=go)
+
+    c3, c4, feat, depth, idx, valid, bev_feats, bev_refined, pyr = jax.block_until_ready(
+        prefix(variables, *inputs)
+    )
+
+    def stack(x, jitter=1e-3):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.stack([x + jnp.asarray(jitter * i, x.dtype) for i in range(K)])
+        return jnp.stack([x] * K)
+
+    sets = [_fake_inputs(b=batch, seed=s) for s in range(K)]
+    st_inputs = tuple(jnp.stack([s[i] for s in sets]) for i in range(6))
+
+    # ---- stage timings ----
+    def full(va, *ins):
+        out = model.apply(va, *ins)
+        return out
+
+    t_full = timed("FULL forward", full, *st_inputs)
+
+    def backbone(va, imgs):
+        def go(mod, imgs):
+            x = imgs.reshape(b * n, *imgs.shape[2:])
+            f = mod.backbone(x, False)
+            return f["c3"], f["c4"]
+
+        return model.apply(va, imgs, method=go)
+
+    t_bb = timed("backbone (VoVNet39 x6 cams)", backbone, st_inputs[0])
+
+    sc3, sc4 = stack(c3), stack(c4)
+
+    def depthcam(va, c3, c4):
+        def go(mod, c3, c4):
+            return mod.depth_net(c3, c4, False), mod.cam_encode(c3)
+
+        return model.apply(va, c3, c4, method=go)
+
+    t_dc = timed("depth_net + cam_encode", depthcam, sc3, sc4)
+
+    sfeat, sdepth = stack(feat), stack(depth)
+    st_geo = tuple(st_inputs[i] for i in range(1, 6))
+
+    def liftsplat(va, feat, depth, rots, trans, intrins, post_rots, post_trans):
+        def go(mod, feat, depth, rots, trans, intrins, post_rots, post_trans):
+            from lss2_multimodal_nu_tpu.core.geometry import (
+                get_geometry,
+                voxel_indices,
+            )
+            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
+
+            fh, fw = feat.shape[1], feat.shape[2]
+            dep = jnp.moveaxis(depth.reshape(b, n, fh, fw, mod.depth_bins), -1, 2)
+            fe = feat.reshape(b, n, fh, fw, mod.cam_c)
+            geom = get_geometry(
+                jnp.asarray(mod.frustum), rots, trans, intrins, post_rots, post_trans
+            )
+            idx, valid = voxel_indices(geom, mod.dx, mod.bx, mod.nx)
+            return lift_splat(fe, dep, idx, valid, mod.nx)
+
+        return model.apply(
+            va, feat, depth, rots, trans, intrins, post_rots, post_trans, method=go
+        )
+
+    t_ls = timed("geometry + lift_splat", liftsplat, sfeat, sdepth, *st_geo)
+
+    sbev = stack(bev_feats)
+
+    def bevenc(va, bf):
+        def go(mod, bf):
+            return mod.bev_encoder(bf, False)
+
+        return model.apply(va, bf, method=go)
+
+    t_be = timed("bev_encoder (transformer+seg)", bevenc, sbev)
+
+    sref = stack(bev_refined)
+
+    def txt(va, c3, bev_refined):
+        def go(mod, c3, bev_refined):
+            from lss2_multimodal_nu_tpu.nn.layers import global_avg_pool
+
+            pyr = mod.feature_pyramid(c3, False)
+            scene = mod.sceneunder(pyr, False)
+            g = global_avg_pool(scene, keepdims=False).reshape(b, n, -1)
+            cam_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+            att = mod.camera_transformer(g, cam_ids, False) if mod.camera_transformer else g
+            fused = mod.bev_fusion(att, bev_refined, False) if mod.bev_fusion else att
+            return mod.unified_predictor(fused, False)
+
+        return model.apply(va, c3, bev_refined, method=go)
+
+    t_tx = timed("TXT branch (pyr..predictor)", txt, sc3, sref)
+
+    acc = t_bb + t_dc + t_ls + t_be + t_tx
+    print("-" * 64)
+    print(f"{'sum of stages':34s} {acc:8.2f} ms   vs full {t_full:.2f} ms")
+    print(f"flagship fps @B={batch}: {batch / (t_full / 1e3):.1f}")
+
+
+if __name__ == "__main__":
+    main()
