@@ -53,6 +53,14 @@ _QGROUP = 8
 _QC = 2048
 # Flipped by tests to run the kernel in the Pallas interpreter on CPU.
 _INTERPRET = False
+# Gather-loop A/B results (v5e, B=6 flagship shapes, 15.36 M rows):
+#   concat-of-8 (this code)      46.1 ms  (~4.3 cycles/row @1.5 GHz)
+#   16-query groups              57.9 ms  (2-vreg assembly costs more)
+#   VMEM-scratch group assembly  hangs the Mosaic compiler (>15 min)
+#   manual unroll x2/x4          46.2/46.1 ms (issue-bound, not latency-bound)
+# The ~4.3 c/row = dynamic unaligned-sublane load (aligned load + align) +
+# merge into the group vreg + amortized multiply-accumulate; this is the
+# exact-gather floor for this ISA — there is no vector-gather instruction.
 # Forward table sourcing: "kernel" builds the patch table in-kernel from the
 # raw (dh, HW) value map (no HBM patch table at all); "hbm" ships the
 # channel-major table through HBM and transposes in-kernel (fallback).

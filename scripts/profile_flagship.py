@@ -6,10 +6,13 @@ stage times sum (approximately) to the end-to-end frame time.
 
 Usage: python scripts/profile_flagship.py [batch] [dtype]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -20,6 +23,16 @@ def main():
     from lss2_multimodal_nu_tpu.config import Config, ModelConfig
     from lss2_multimodal_nu_tpu.models.factory import build_model
     from __graft_entry__ import _fake_inputs
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
