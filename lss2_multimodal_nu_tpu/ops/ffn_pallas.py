@@ -74,21 +74,59 @@ def _ln(x, scale, bias, eps):
     return d * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+# Hidden-dim chunk width for the software-pipelined kernel body: the gelu of
+# chunk k (VPU) overlaps the first matmul of chunk k+1 (MXU). 0 disables.
+# A/B on v5e (B=6 flagship shapes): none 2.94 ms, 512 2.65, 256 2.52,
+# 128 2.27 — the erf polynomial hides almost fully under the MXU at 128.
+_FCHUNK = 128
+
+
 def _kernel(
     u_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, o1_ref, s2_ref, o2_ref,
     out_ref, *, eps: float, cdt,
 ):
     u = u_ref[...].astype(jnp.float32)  # (QN, C)
     s = _ln(u, s1_ref[...].astype(jnp.float32), o1_ref[...].astype(jnp.float32), eps)
-    h = jax.lax.dot_general(
-        s.astype(cdt), w1_ref[...],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ) + b1_ref[...].astype(jnp.float32)
-    h = _gelu_erf(h)
-    y = jax.lax.dot_general(
-        h.astype(cdt), w2_ref[...],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ) + b2_ref[...].astype(jnp.float32)
+    sc = s.astype(cdt)
+    dn = (((1,), (0,)), ((), ()))
+    f = w1_ref.shape[1]
+    if _FCHUNK and f % _FCHUNK == 0 and f // _FCHUNK > 1:
+        # Software pipeline over hidden chunks: issue mm1 for chunk k+1
+        # before running gelu on chunk k, so the VPU's erf polynomial hides
+        # under the MXU's matmuls instead of serializing between them.
+        nk = f // _FCHUNK
+
+        def mm1(k):
+            # b1 arrives (nk, _FCHUNK): chunk k's bias is a sublane row at
+            # lane offset 0 (a lane-offset slice of a (1, F) row is a layout
+            # Mosaic cannot broadcast).
+            return jax.lax.dot_general(
+                sc, w1_ref[:, k * _FCHUNK : (k + 1) * _FCHUNK], dn,
+                preferred_element_type=jnp.float32,
+            ) + b1_ref[k : k + 1, :].astype(jnp.float32)
+
+        def mm2(g, k):
+            return jax.lax.dot_general(
+                g.astype(cdt), w2_ref[k * _FCHUNK : (k + 1) * _FCHUNK, :], dn,
+                preferred_element_type=jnp.float32,
+            )
+
+        h = mm1(0)
+        y = jnp.zeros_like(s)
+        for k in range(nk):
+            h_next = mm1(k + 1) if k + 1 < nk else None
+            g = _gelu_erf(h)
+            y = y + mm2(g, k)
+            h = h_next
+        y = y + b2_ref[...].astype(jnp.float32)
+    else:
+        h = jax.lax.dot_general(
+            sc, w1_ref[...], dn, preferred_element_type=jnp.float32,
+        ) + b1_ref[...].astype(jnp.float32)
+        h = _gelu_erf(h)
+        y = jax.lax.dot_general(
+            h.astype(cdt), w2_ref[...], dn, preferred_element_type=jnp.float32,
+        ) + b2_ref[...].astype(jnp.float32)
     r = s + y
     out = _ln(r, s2_ref[...].astype(jnp.float32), o2_ref[...].astype(jnp.float32), eps)
     out_ref[...] = out.astype(out_ref.dtype)
@@ -117,6 +155,8 @@ def fused_ffn_ln(u, w1, b1, w2, b2, scale1, bias1, scale2, bias2,
 
     cdt = compute_dtype
     row = lambda v: v.reshape(1, -1).astype(cdt)
+    pipelined = bool(_FCHUNK) and f % _FCHUNK == 0 and f // _FCHUNK > 1
+    b1_shape = (f // _FCHUNK, _FCHUNK) if pipelined else (1, f)
     kern = functools.partial(_kernel, eps=eps, cdt=cdt)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -125,7 +165,7 @@ def fused_ffn_ln(u, w1, b1, w2, b2, scale1, bias1, scale2, bias2,
         in_specs=[
             pl.BlockSpec((qn, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             full((c, f)),
-            full((1, f)),
+            full(b1_shape),
             full((f, c)),
             full((1, c)),
             full((1, c)),
@@ -140,7 +180,7 @@ def fused_ffn_ln(u, w1, b1, w2, b2, scale1, bias1, scale2, bias2,
             dimension_semantics=("arbitrary",),
         ),
         interpret=_INTERPRET,
-    )(u2, w1.astype(cdt), row(b1), w2.astype(cdt), row(b2),
+    )(u2, w1.astype(cdt), b1.reshape(b1_shape).astype(cdt), w2.astype(cdt), row(b2),
       row(scale1), row(bias1), row(scale2), row(bias2))
     if bn_pad != bn:
         out = out[:bn]

@@ -1,0 +1,80 @@
+"""Micro-benchmark for the fused LN->FFN->LN Pallas kernel.
+
+Usage: python scripts/bench_ffn.py [batch] [dtype]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import measure_floor
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+    from lss2_multimodal_nu_tpu.ops import ffn_pallas
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    b, n, c, f = batch, 40000, 256, 1024
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32)).astype(cdt)
+    w1 = jnp.asarray(rng.normal(0, 0.02, (c, f)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(0, 0.02, (f,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.02, (f, c)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(0, 0.02, (c,)).astype(np.float32))
+    s1 = jnp.ones((c,), np.float32)
+    o1 = jnp.zeros((c,), np.float32)
+    s2 = jnp.ones((c,), np.float32)
+    o2 = jnp.zeros((c,), np.float32)
+
+    K, M = 6, 4
+    floor = measure_floor(jax, jnp)
+    su = jnp.stack([u + jnp.asarray(1e-3 * i, u.dtype) for i in range(K)])
+
+    @jax.jit
+    def run(su_):
+        def one(u_):
+            out = ffn_pallas.fused_ffn_ln(
+                u_, w1, b1, w2, b2, s1, o1, s2, o2, compute_dtype=cdt
+            )
+            return jnp.sum(out.astype(jnp.float32))
+
+        return jnp.sum(jax.lax.map(one, su_))
+
+    su = jax.block_until_ready(su)
+    t0 = time.time()
+    float(run(su))
+    print(f"compile+first: {time.time()-t0:.1f} s")
+    best = float("inf")
+    for _ in range(M):
+        t0 = time.time()
+        float(run(su))
+        best = min(best, time.time() - t0)
+    ms = max(best - floor, 0.0) / K * 1e3
+    gflop = 2 * 2 * b * n * c * f / 1e9
+    print(
+        f"ffn[{dtype}] B={batch}: {ms:.2f} ms/batch "
+        f"({gflop/ms:.0f} TFLOP/s eff, {ms/batch:.3f} ms/frame)"
+    )
+
+
+if __name__ == "__main__":
+    main()
