@@ -303,7 +303,8 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
 
 def _bwd_kernel(
     idx_ref, tabt_ref, wx_ref, wy_ref, at_ref, g_ref, gtab_ref, rc_ref,
-    tab_ref, wvec_ref, prod_ref, *scratch, npts: int, dh: int, geom=None
+    tab_ref, wvec_ref, prod_ref, *scratch, npts: int, dh: int, geom=None,
+    stripes: int = 1
 ):
     """Backward pass over one (bh, query-chunk) grid step, point-major to
     keep the weight/product scratches at one point's footprint (~1 MB).
@@ -328,6 +329,12 @@ def _bwd_kernel(
     qc = g_ref.shape[1]
     cw = g_ref.shape[2]
     gacc_ref = gtab_ref if geom is None else scratch[1]
+    # Striped gradient-table copies: consecutive RMWs alternate between
+    # independent scratch refs, so Mosaic no longer serializes them on a
+    # may-alias load-after-store chain (the RMW chain was latency-bound at
+    # ~14 cycles/row; see the A/B in scripts/bench_sampling.py). The stripes
+    # are summed during the epilogue fold, which already walks every row.
+    gaccs = [gacc_ref] + [scratch[2 + i] for i in range(stripes - 1)]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -338,7 +345,8 @@ def _bwd_kernel(
             _build_table_from_v(
                 tabt_ref, scratch[0], tab_ref, h=h, w=w, dh=dh, pw=pw
             )
-        gacc_ref[...] = jnp.zeros_like(gacc_ref)
+        for gr in gaccs:
+            gr[...] = jnp.zeros_like(gr)
 
     e = (
         jax.lax.broadcasted_iota(jnp.int32, (4, cw), 1) // dh
@@ -364,8 +372,9 @@ def _bwd_kernel(
             )
             prod_ref[pl.ds(q0, _QGROUP), :] = rows * g8
             gw = wvec_ref[pl.ds(q0, _QGROUP), :] * g8
-            # per-row read-modify-write; sequential, so same-row collisions
-            # within the group accumulate correctly
+            # per-row read-modify-write; sequential PER STRIPE, so same-row
+            # collisions accumulate correctly (a row colliding across stripes
+            # is re-merged in the epilogue sum)
             for s in range(_QGROUP):
                 r = idx_ref[0, p, q0 + s]
                 if geom is None:
@@ -373,9 +382,8 @@ def _bwd_kernel(
                         gtab_ref[0, pl.ds(r, 1), :] + gw[s : s + 1, :]
                     )
                 else:
-                    gacc_ref[pl.ds(r, 1), :] = (
-                        gacc_ref[pl.ds(r, 1), :] + gw[s : s + 1, :]
-                    )
+                    gr = gaccs[s % stripes]
+                    gr[pl.ds(r, 1), :] = gr[pl.ds(r, 1), :] + gw[s : s + 1, :]
             return 0
 
         jax.lax.fori_loop(0, qc // _QGROUP, body, 0, unroll=False)
@@ -405,7 +413,9 @@ def _bwd_kernel(
                 for gq in range(4):
                     dyq, dxq = gq // 2, gq % 2
                     src = (yp + 1 - dyq) * pw + (1 - dxq)
-                    rows = gacc_ref[pl.ds(src, w), :]
+                    rows = gaccs[0][pl.ds(src, w), :]
+                    for gr in gaccs[1:]:
+                        rows = rows + gr[pl.ds(src, w), :]
                     cur = timg_ref[pl.ds(yp * w, w), :]
                     timg_ref[pl.ds(yp * w, w), :] = cur + jnp.where(
                         lane_group == gq, rows, 0.0
@@ -452,7 +462,12 @@ def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
     n_pad = gidx.shape[2]
     assert n_pad % qc == 0 and qc % _QGROUP == 0
     grid = (bh, n_pad // qc)
-    kern = functools.partial(_bwd_kernel, npts=npts, dh=dh, geom=geom)
+    # 2-way stripe fits alongside a bf16 value-map window (~86 + 22 MB);
+    # with f32 operands the budget is already ~101 MB, so stay unstriped
+    stripes = 2 if (geom is not None and tabt.dtype == jnp.bfloat16) else 1
+    kern = functools.partial(
+        _bwd_kernel, npts=npts, dh=dh, geom=geom, stripes=stripes
+    )
     wspec = pl.BlockSpec(
         (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
     )
@@ -508,7 +523,10 @@ def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
             + (
                 [
                     pltpu.VMEM((tabt.shape[2], cw), jnp.float32),  # timg
-                    pltpu.VMEM((r_pad, cw), jnp.float32),  # gradient table
+                ]
+                + [
+                    pltpu.VMEM((r_pad, cw), jnp.float32)  # gradient table(s)
+                    for _ in range(stripes)
                 ]
                 if geom is not None
                 else []

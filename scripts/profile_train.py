@@ -1,0 +1,226 @@
+"""Per-stage timing of the flagship TRAIN step (fwd+bwd) on the real TPU.
+
+Same floor-subtracted, scan-amortized methodology as profile_flagship.py,
+but each stage is timed as value_and_grad of a scalar readout, so the
+number covers forward + backward of that stage (plus the trivial readout
+VJP). Also A/Bs the full train step and the sampling backward impl.
+
+Usage: python scripts/profile_train.py [batch] [dtype]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import measure_floor, bench_train_step
+    from lss2_multimodal_nu_tpu.config import Config, ModelConfig
+    from lss2_multimodal_nu_tpu.models.factory import build_model
+    from __graft_entry__ import _fake_inputs
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+    # the fused FFN kernel is inference-only (no VJP); the real train path
+    # uses the XLA modules, so disable it for this grad-profiling session
+    from lss2_multimodal_nu_tpu.ops import ffn_pallas
+
+    ffn_pallas._ENABLED = False
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    cfg = Config(
+        model=ModelConfig(
+            family="vovnet_transformer", vovnet_type="vovnet39", lss_version="v2",
+            effnet_variant="b4", compute_dtype=dtype,
+        )
+    )
+    model = build_model(cfg)
+    inputs = _fake_inputs(b=batch, seed=0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+    floor = measure_floor(jax, jnp)
+    print(f"call floor: {floor*1e3:.1f} ms")
+
+    K, M = 6, 3
+    b, n = batch, 6
+
+    def timed(name, fn, *stacked_args, grad: bool = True):
+        """fn(params_variables, *unstacked) -> pytree scalar-readout; timed
+        as value_and_grad wrt variables['params'] when grad=True."""
+
+        def readout(va, *t):
+            out = fn(va, *t)
+            leaves = jax.tree.leaves(out)
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in leaves)
+
+        @jax.jit
+        def run(va, args):
+            def one(t):
+                if grad:
+                    val, g = jax.value_and_grad(
+                        lambda p: readout({**va, "params": p}, *t)
+                    )(va["params"])
+                    return val + sum(
+                        jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g)
+                    )
+                return readout(va, *t)
+
+            return jnp.sum(jax.lax.map(one, args))
+
+        args = jax.block_until_ready(stacked_args)
+        float(run(variables, args))
+        best = float("inf")
+        for _ in range(M):
+            t0 = time.time()
+            float(run(variables, args))
+            best = min(best, time.time() - t0)
+        ms = max(best - floor, 0.0) / K * 1e3
+        print(f"{name:40s} {ms:8.2f} ms")
+        return ms
+
+    # ---- precompute stage inputs (same as profile_flagship) ----
+    @jax.jit
+    def prefix(va, imgs, rots, trans, intrins, post_rots, post_trans):
+        def go(mod, imgs, rots, trans, intrins, post_rots, post_trans):
+            x = imgs.reshape(b * n, *imgs.shape[2:])
+            feats = mod.backbone(x, False)
+            c3, c4 = feats["c3"], feats["c4"]
+            depth = mod.depth_net(c3, c4, False)
+            feat = mod.cam_encode(c3)
+            fh, fw = feat.shape[1], feat.shape[2]
+            from lss2_multimodal_nu_tpu.core.geometry import (
+                get_geometry,
+                voxel_indices,
+            )
+            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
+
+            dep = jnp.moveaxis(depth.reshape(b, n, fh, fw, mod.depth_bins), -1, 2)
+            fe = feat.reshape(b, n, fh, fw, mod.cam_c)
+            geom = get_geometry(
+                jnp.asarray(mod.frustum), rots, trans, intrins, post_rots, post_trans
+            )
+            idx, valid = voxel_indices(geom, mod.dx, mod.bx, mod.nx)
+            bev_feats = lift_splat(fe, dep, idx, valid, mod.nx)
+            return c3, c4, feat, depth, bev_feats
+
+        return model.apply(va, imgs, rots, trans, intrins, post_rots, post_trans, method=go)
+
+    c3, c4, feat, depth, bev_feats = jax.block_until_ready(prefix(variables, *inputs))
+
+    def stack(x, jitter=1e-3):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.stack([x + jnp.asarray(jitter * i, x.dtype) for i in range(K)])
+        return jnp.stack([x] * K)
+
+    sets = [_fake_inputs(b=batch, seed=s) for s in range(K)]
+    st_inputs = tuple(jnp.stack([s[i] for s in sets]) for i in range(6))
+
+    # ---- full fwd / fwd+bwd ----
+    def full(va, *ins):
+        return model.apply(va, *ins)
+
+    t_fwd = timed("FULL forward (no grad)", full, *st_inputs, grad=False)
+    t_fb = timed("FULL forward+backward", full, *st_inputs)
+
+    # ---- stages, fwd+bwd each ----
+    def backbone(va, imgs):
+        def go(mod, imgs):
+            x = imgs.reshape(b * n, *imgs.shape[2:])
+            f = mod.backbone(x, False)
+            return f["c3"], f["c4"]
+
+        return model.apply(va, imgs, method=go)
+
+    timed("backbone fwd+bwd", backbone, st_inputs[0])
+
+    sfeat, sdepth = stack(feat), stack(depth)
+    st_geo = tuple(st_inputs[i] for i in range(1, 6))
+
+    def liftsplat(va, feat, depth, rots, trans, intrins, post_rots, post_trans):
+        def go(mod, feat, depth, rots, trans, intrins, post_rots, post_trans):
+            from lss2_multimodal_nu_tpu.core.geometry import (
+                get_geometry,
+                voxel_indices,
+            )
+            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
+
+            fh, fw = feat.shape[1], feat.shape[2]
+            dep = jnp.moveaxis(depth.reshape(b, n, fh, fw, mod.depth_bins), -1, 2)
+            fe = feat.reshape(b, n, fh, fw, mod.cam_c)
+            geom = get_geometry(
+                jnp.asarray(mod.frustum), rots, trans, intrins, post_rots, post_trans
+            )
+            idx, valid = voxel_indices(geom, mod.dx, mod.bx, mod.nx)
+            return lift_splat(fe, dep, idx, valid, mod.nx)
+
+        return model.apply(
+            va, feat, depth, rots, trans, intrins, post_rots, post_trans, method=go
+        )
+
+    timed("geometry+lift_splat fwd+bwd", liftsplat, sfeat, sdepth, *st_geo)
+
+    sbev = stack(bev_feats)
+
+    def bevenc(va, bf):
+        def go(mod, bf):
+            return mod.bev_encoder(bf, False)
+
+        return model.apply(va, bf, method=go)
+
+    timed("bev_encoder fwd+bwd", bevenc, sbev)
+
+    # bev_encoder with the XLA-oracle sampling backward (A/B)
+    from lss2_multimodal_nu_tpu.ops import deformable_pallas
+
+    deformable_pallas._BWD_IMPL = "xla"
+    try:
+        timed("bev_encoder fwd+bwd (XLA bwd)", bevenc, sbev)
+    finally:
+        deformable_pallas._BWD_IMPL = "pallas"
+
+    def txt(va, c3, bev_refined):
+        def go(mod, c3, bev_refined):
+            from lss2_multimodal_nu_tpu.nn.layers import global_avg_pool
+
+            pyr = mod.feature_pyramid(c3, False)
+            scene = mod.sceneunder(pyr, False)
+            g = global_avg_pool(scene, keepdims=False).reshape(b, n, -1)
+            cam_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+            att = mod.camera_transformer(g, cam_ids, False) if mod.camera_transformer else g
+            fused = mod.bev_fusion(att, bev_refined, False) if mod.bev_fusion else att
+            return mod.unified_predictor(fused, False)
+
+        return model.apply(va, c3, bev_refined, method=go)
+
+    @jax.jit
+    def refined_of(va, bf):
+        def go(mod, bf):
+            return mod.bev_encoder(bf, False)[1]
+
+        return model.apply(va, bf, method=go)
+
+    sref = stack(jax.block_until_ready(refined_of(variables, bev_feats)))
+    timed("TXT branch fwd+bwd", txt, stack(c3), sref)
+
+    # ---- the real train step (fwd+bwd+adam+BN), from bench.py ----
+    tstep = bench_train_step(jax, jnp, cfg, model, batch=batch, floor=floor)
+    print(f"{'train step (bench_train_step)':40s} {tstep*1e3:8.2f} ms")
+    print(f"fwd {t_fwd:.2f} ms | fwd+bwd {t_fb:.2f} ms | bwd ~= {t_fb - t_fwd:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
