@@ -4,6 +4,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import seg_head_pallas
 from .layers import ConvBN, Dtype, global_avg_pool
 from .transformer import LightweightBEVTransformer
 
@@ -54,11 +55,43 @@ class BEVEncoderTransformer(nn.Module):
             d_model=256, n_heads=8, dim_feedforward=1024, dropout=0.1,
             dtype=self.dtype, name="transformer",
         )(x, train)
-        y = ConvBN(128, (3, 3), use_bias=True, dtype=self.dtype, name="seg0")(
-            refined, train
-        )
-        y = ConvBN(64, (3, 3), use_bias=True, dtype=self.dtype, name="seg1")(y, train)
-        seg = nn.Conv(self.out_features, (1, 1), dtype=self.dtype, name="seg_out")(y)
+        seg0 = ConvBN(128, (3, 3), use_bias=True, dtype=self.dtype, name="seg0")
+        seg1 = ConvBN(64, (3, 3), use_bias=True, dtype=self.dtype, name="seg1")
+        seg_out = nn.Conv(self.out_features, (1, 1), dtype=self.dtype, name="seg_out")
+
+        bh, hh, ww, cc = refined.shape
+        if (
+            not train
+            and self.dtype == jnp.bfloat16  # f32 working set exceeds VMEM
+            and seg_head_pallas.enabled_for_backend()
+            and seg_head_pallas.supports(hh, ww, cc, 128, 64, self.out_features)
+        ):
+            # Inference seg head fused into one Pallas kernel (BN folded into
+            # the convs; see ops.seg_head_pallas). Zero-width calls
+            # materialize the identical param tree the XLA path would.
+            _ = seg_out(seg1(seg0(refined[:, :0], train), train))
+            p = lambda m, c: m.variables["params"][c]
+            s = lambda m: m.variables["batch_stats"]["bn"]
+            w0, b0 = seg_head_pallas.fold_conv_bn(
+                p(seg0, "conv")["kernel"], p(seg0, "conv")["bias"],
+                p(seg0, "bn")["scale"], p(seg0, "bn")["bias"],
+                s(seg0)["mean"], s(seg0)["var"], seg0.bn_eps,
+            )
+            w1, b1 = seg_head_pallas.fold_conv_bn(
+                p(seg1, "conv")["kernel"], p(seg1, "conv")["bias"],
+                p(seg1, "bn")["scale"], p(seg1, "bn")["bias"],
+                s(seg1)["mean"], s(seg1)["var"], seg1.bn_eps,
+            )
+            w2 = seg_out.variables["params"]["kernel"]
+            b2 = seg_out.variables["params"]["bias"]
+            seg = seg_head_pallas.fused_seg_head(
+                refined.reshape(bh, hh * ww, cc), w0, b0, w1, b1,
+                w2.reshape(w2.shape[2], w2.shape[3]), b2, hh, ww,
+            ).astype(self.dtype)
+        else:
+            y = seg0(refined, train)
+            y = seg1(y, train)
+            seg = seg_out(y)
         return seg, refined
 
 
