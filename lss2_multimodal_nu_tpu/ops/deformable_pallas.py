@@ -65,6 +65,23 @@ _INTERPRET = False
 # raw (dh, HW) value map (no HBM patch table at all); "hbm" ships the
 # channel-major table through HBM and transposes in-kernel (fallback).
 _TABLE_BUILD = "kernel"
+# Run-length-coalesced gather: when a query group's _QGROUP indices are
+# exactly consecutive (i0, i0+1, ..), ONE unaligned (_QGROUP, 128) vector
+# load replaces _QGROUP single-row loads (queries are a raster of the BEV
+# grid, image rows are group-aligned, smooth offset fields coalesce).
+# MEASURED OFF: the idea fails on this ISA/compiler — measured on v5e at
+# B=6 flagship shapes (46.1 ms branch-free baseline, DEF_LOCS=smooth is
+# ~90% coalescible):
+#   value-level lax.cond          88.0 ms dispersed / 88.4 smooth
+#     (lowers to select: BOTH paths execute, plus cond overhead)
+#   pl.when pair -> VMEM scratch  93.5 ms dispersed / 79.3 smooth
+#     (real branches, but the scratch round-trip + per-group branch breaks
+#      Mosaic's software pipelining of the gather loop — even the 1-load
+#      fast path ends up slower than the pipelined 8-load concat)
+# Conclusion: the branch-free concat-of-8 IS the floor; data-adaptive
+# branching cannot beat it inside a Mosaic inner loop. Kept behind this
+# flag for reproducibility (tests cover both settings' semantics).
+_COALESCE = False
 
 
 def _hilo(t):
@@ -190,14 +207,48 @@ def _build_wvec_point(wx, wy, a, wvec_ref, *, dh: int, cw: int):
     ) + jax.lax.dot_general(w_lo, e, dn, preferred_element_type=jnp.float32)
 
 
+def _gather_group(tab_ref, idx_ref, p: int, q0, rows_ref=None):
+    """Gather _QGROUP table rows for one (point, query-group). Slow path:
+    per-row dynamic loads concatenated into one vreg (~4.3 cycles/row, the
+    ISA floor for dispersed indices). Fast path (_COALESCE, needs a
+    (_QGROUP, 128) VMEM scratch `rows_ref`): if the group's indices are
+    exactly consecutive, a single unaligned (_QGROUP, 128) vector load.
+    The branch MUST be a pl.when pair writing the scratch — a value-level
+    `lax.cond` lowers to select-of-both-paths on TPU vectors (measured 2x
+    SLOWER than the plain slow path). The consecutiveness check runs on the
+    scalar unit (SMEM reads), largely hidden behind the vector work."""
+    slow = lambda: jnp.concatenate(
+        [tab_ref[pl.ds(idx_ref[0, p, q0 + s], 1), :] for s in range(_QGROUP)],
+        axis=0,
+    )
+    if not (_COALESCE and rows_ref is not None):
+        return slow()
+    i0 = idx_ref[0, p, q0]
+    consec = idx_ref[0, p, q0 + 1] == i0 + 1
+    for s in range(2, _QGROUP):
+        consec &= idx_ref[0, p, q0 + s] == i0 + s
+
+    @pl.when(consec)
+    def _fast():
+        rows_ref[...] = tab_ref[pl.ds(i0, _QGROUP), :]
+
+    @pl.when(jnp.logical_not(consec))
+    def _slow():
+        rows_ref[...] = slow()
+
+    return rows_ref[...]
+
+
 def _kernel(
     idx_ref, tabt_ref, wx_ref, wy_ref, at_ref, out_ref, tab_ref, wvec_ref,
-    *scratch, npts: int, dh: int, geom=None
+    *scratch, npts: int, dh: int, geom=None, n_real: int | None = None
 ):
     """geom=None: tabt_ref is the channel-major HBM patch table, transposed
     to row-major in-kernel. geom=(h, w, pw): tabt_ref is the RAW value map
     (1, dh, hw_pad) and the patch table is built in-kernel (scratch carries
-    the extra timg buffer)."""
+    the extra timg buffer). n_real bounds the gather loop on the final query
+    chunk (the query pad would otherwise do real gather work on clipped
+    indices — ~2.3%% of all rows at flagship shapes)."""
     qc = out_ref.shape[1]
     cw = out_ref.shape[2]
 
@@ -217,27 +268,36 @@ def _kernel(
             at_ref[0, p : p + 1, :], wvec_ref.at[p], dh=dh, cw=cw,
         )
 
+    nsteps = qc // _QGROUP
+    if n_real is not None and n_real % qc != 0:
+        rows = jnp.minimum(qc, n_real - pl.program_id(1) * qc)
+        nsteps = jax.lax.div(rows + (_QGROUP - 1), _QGROUP)
+
+        # skipped pad rows must still be written: zero the partial block
+        # first (one extra block write on ONE grid step), real rows are
+        # overwritten by the loop below
+        @pl.when(rows < qc)
+        def _zero_tail():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+    rows_ref = scratch[-1] if _COALESCE else None
+
     def body(q8, _):
         q0 = q8 * _QGROUP
         acc = jnp.zeros((_QGROUP, cw), jnp.float32)
         for p in range(npts):
-            rows = jnp.concatenate(
-                [
-                    tab_ref[pl.ds(idx_ref[0, p, q0 + s], 1), :]
-                    for s in range(_QGROUP)
-                ],
-                axis=0,
-            )
+            rows = _gather_group(tab_ref, idx_ref, p, q0, rows_ref)
             acc = acc + rows * wvec_ref[p, pl.ds(q0, _QGROUP), :]
         out_ref[0, pl.ds(q0, _QGROUP), :] = acc.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, qc // _QGROUP, body, 0, unroll=False)
+    jax.lax.fori_loop(0, nsteps, body, 0, unroll=False)
 
 
 def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
                    qc: int | None = None, out_dtype=jnp.float32,
-                   geom=None, r_pad: int | None = None):
+                   geom=None, r_pad: int | None = None,
+                   n_real: int | None = None):
     """geom=None: tabt (BH, 4*dh, R_pad) channel-major patch table.
     geom=(h, w, pw): tabt is the RAW value map (BH, dh, hw_pad) and the patch
     table (r_pad rows) is built in-kernel (pass r_pad explicitly).
@@ -262,7 +322,9 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
         qc = min(_QC, n_pad)
     assert n_pad % qc == 0 and qc % _QGROUP == 0
     grid = (bh, n_pad // qc)
-    kern = functools.partial(_kernel, npts=npts, dh=dh, geom=geom)
+    kern = functools.partial(
+        _kernel, npts=npts, dh=dh, geom=geom, n_real=n_real
+    )
     wspec = pl.BlockSpec(
         (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
     )
@@ -272,6 +334,8 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
     ]
     if geom is not None:
         scratch.append(pltpu.VMEM((tabt.shape[2], cw), jnp.float32))
+    if _COALESCE:
+        scratch.append(pltpu.VMEM((_QGROUP, cw), jnp.float32))
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -304,7 +368,7 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
 def _bwd_kernel(
     idx_ref, tabt_ref, wx_ref, wy_ref, at_ref, g_ref, gtab_ref, rc_ref,
     tab_ref, wvec_ref, prod_ref, *scratch, npts: int, dh: int, geom=None,
-    stripes: int = 1
+    stripes: int = 1, n_real: int | None = None
 ):
     """Backward pass over one (bh, query-chunk) grid step, point-major to
     keep the weight/product scratches at one point's footprint (~1 MB).
@@ -354,6 +418,16 @@ def _bwd_kernel(
     ).astype(jnp.float32)
     dn = (((1,), (1,)), ((), ()))
 
+    rows_ref = scratch[-1] if _COALESCE else None
+
+    # Query-pad rows carry attn=0 -> wvec=0 -> zero RMW contributions, so
+    # skipping them is exact; their rc columns are garbage but the caller
+    # slices rc[..., :n]. Only the final chunk is ever partial.
+    nsteps = qc // _QGROUP
+    if n_real is not None and n_real % qc != 0:
+        rows = jnp.minimum(qc, n_real - pl.program_id(1) * qc)
+        nsteps = jax.lax.div(rows + (_QGROUP - 1), _QGROUP)
+
     for p in range(npts):
         _build_wvec_point(
             wx_ref[0, p : p + 1, :], wy_ref[0, p : p + 1, :],
@@ -363,13 +437,7 @@ def _bwd_kernel(
         def body(q8, _):
             q0 = q8 * _QGROUP
             g8 = g_ref[0, pl.ds(q0, _QGROUP), :].astype(jnp.float32)
-            rows = jnp.concatenate(
-                [
-                    tab_ref[pl.ds(idx_ref[0, p, q0 + s], 1), :]
-                    for s in range(_QGROUP)
-                ],
-                axis=0,
-            )
+            rows = _gather_group(tab_ref, idx_ref, p, q0, rows_ref)
             prod_ref[pl.ds(q0, _QGROUP), :] = rows * g8
             gw = wvec_ref[pl.ds(q0, _QGROUP), :] * g8
             # per-row read-modify-write; sequential PER STRIPE, so same-row
@@ -386,7 +454,7 @@ def _bwd_kernel(
                     gr[pl.ds(r, 1), :] = gr[pl.ds(r, 1), :] + gw[s : s + 1, :]
             return 0
 
-        jax.lax.fori_loop(0, qc // _QGROUP, body, 0, unroll=False)
+        jax.lax.fori_loop(0, nsteps, body, 0, unroll=False)
 
         # lane-group reduction for this point's products
         pr = prod_ref[...]
@@ -442,7 +510,8 @@ def _bwd_kernel(
 
 
 def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
-                       qc: int, geom=None, r_pad: int | None = None):
+                       qc: int, geom=None, r_pad: int | None = None,
+                       n_real: int | None = None):
     """geom=None: tabt (BH, 4*dh, R_pad) channel-major (f32/bf16);
     geom=(h, w, pw): tabt is the RAW value map (BH, dh, hw_pad), table built
     in-kernel (pass r_pad). gidx (BH, npts, N_pad) int32; wx/wy/attn
@@ -466,7 +535,8 @@ def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
     # with f32 operands the budget is already ~101 MB, so stay unstriped
     stripes = 2 if (geom is not None and tabt.dtype == jnp.bfloat16) else 1
     kern = functools.partial(
-        _bwd_kernel, npts=npts, dh=dh, geom=geom, stripes=stripes
+        _bwd_kernel, npts=npts, dh=dh, geom=geom, stripes=stripes,
+        n_real=n_real,
     )
     wspec = pl.BlockSpec(
         (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
@@ -531,6 +601,7 @@ def _sample_pallas_bwd(tabt, gidx, wx, wy, attn, g, npts: int, dh: int,
                 if geom is not None
                 else []
             )
+            + ([pltpu.VMEM((_QGROUP, cw), jnp.float32)] if _COALESCE else [])
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=124 * 1024 * 1024,
@@ -658,12 +729,13 @@ def _forward_prefold(v, lx, ly, attn, h: int, w: int, keep_pad: bool = False):
         vk = jnp.pad(v, ((0, 0), (0, 0), (0, hwp - hw))) if hwp != hw else v
         out128 = _sample_pallas(
             vk, gidx, wx, wy, attn32, npts, dh, qc, out_dtype=v.dtype,
-            geom=(h, w, pw), r_pad=_row_pad((h + 1) * pw),
+            geom=(h, w, pw), r_pad=_row_pad((h + 1) * pw), n_real=n,
         )
     else:
         tabt = _prep_cm(v, h, w)
         out128 = _sample_pallas(
-            tabt, gidx, wx, wy, attn32, npts, dh, qc, out_dtype=v.dtype
+            tabt, gidx, wx, wy, attn32, npts, dh, qc, out_dtype=v.dtype,
+            n_real=n,
         )  # (BH, N_pad, 4*dh), already in v.dtype
     if keep_pad:
         # let the consumer slice after its next matmul: slicing 1 GB of
@@ -741,12 +813,13 @@ def _bwd_pallas(h, w, res, g):
         vk = jnp.pad(v, ((0, 0), (0, 0), (0, hwp - hw))) if hwp != hw else v
         dv_cm, rc = _sample_pallas_bwd(
             vk, gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc,
-            geom=(h, w, pw), r_pad=_row_pad((h + 1) * pw),
+            geom=(h, w, pw), r_pad=_row_pad((h + 1) * pw), n_real=n,
         )
         dv = dv_cm[:, :, :hw]  # (BH, dh, HW), folded + transposed in-kernel
     else:
         gtab, rc = _sample_pallas_bwd(
-            _prep_cm(v, h, w), gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc
+            _prep_cm(v, h, w), gidx_p, wx_p, wy_p, a32_p, g32, npts, dh, qc,
+            n_real=n,
         )
 
     r0, r1, r2, r3 = (rc[:, c, :, :n] for c in range(4))

@@ -47,8 +47,23 @@ def main():
 
     rng = np.random.default_rng(0)
     v_cm = jnp.asarray(rng.normal(size=(b * nh, dh, nq)).astype(np.float32)).astype(cdt)
-    lx = jnp.asarray(rng.uniform(0, 1, (b * nh, npts, nq)).astype(np.float32))
-    ly = jnp.asarray(rng.uniform(0, 1, (b * nh, npts, nq)).astype(np.float32))
+    locs_mode = os.environ.get("DEF_LOCS", "random")
+    if locs_mode == "smooth":
+        # raster reference + per-(bh, point) sub-pixel offsets: adjacent
+        # queries sample adjacent pixels -> coalesced fast path (the shape
+        # of a smooth trained offset field; also exactly the init field)
+        ys, xs_ = np.meshgrid(
+            np.linspace(0, 1, h, dtype=np.float32),
+            np.linspace(0, 1, w, dtype=np.float32),
+            indexing="ij",
+        )
+        offx = rng.uniform(-8, 8, (b * nh, npts, 1)).astype(np.float32) / h
+        offy = rng.uniform(-8, 8, (b * nh, npts, 1)).astype(np.float32) / h
+        lx = jnp.asarray(np.clip(xs_.reshape(1, 1, nq) + offx, 0.0, 1.0))
+        ly = jnp.asarray(np.clip(ys.reshape(1, 1, nq) + offy, 0.0, 1.0))
+    else:
+        lx = jnp.asarray(rng.uniform(0, 1, (b * nh, npts, nq)).astype(np.float32))
+        ly = jnp.asarray(rng.uniform(0, 1, (b * nh, npts, nq)).astype(np.float32))
     at = jnp.asarray(
         (rng.uniform(0.1, 1, (b * nh, npts, nq)) / npts).astype(np.float32)
     )

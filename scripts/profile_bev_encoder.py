@@ -72,7 +72,9 @@ def main():
                 out[col] = t
         return out
 
-    def timed(name, fn, *stacked_args):
+    def timed(name, fn, *stacked_args, k=None):
+        k = K if k is None else k
+
         @jax.jit
         def run(args):
             def one(t):
@@ -89,7 +91,7 @@ def main():
             t0 = time.time()
             float(run(args))
             best = min(best, time.time() - t0)
-        ms = max(best - floor, 0.0) / K * 1e3
+        ms = max(best - floor, 0.0) / k * 1e3
         print(f"{name:40s} {ms:8.2f} ms")
         return ms
 
@@ -244,21 +246,24 @@ def main():
 
     timed("    sampling kernel (pallas)", sampling_only, sv, slx, sly, sat)
 
-    # FoldingDense alone
+    # FoldingDense alone (k=2: the K-stacked prefold input is ~1 GB/copy)
+    del sv, slx, sly, sat, sq, sxf, sbev, sref, sx
     from lss2_multimodal_nu_tpu.nn.transformer import FoldingDense
 
     n_pad = -(-nq // 2048) * 2048
     pre = jnp.asarray(
         rng.normal(size=(b, nh, n_pad, 4 * dh)).astype(np.float32)
     ).astype(cdt)
-    spre = stack(pre)
+    spre = jnp.stack([pre, pre + jnp.asarray(1e-3, cdt)])
+    del pre
     fd_mod = FoldingDense(256, 8, dtype=cdt)
     va_fd = {"params": va_da["params"]["output_proj"]}
 
     def folding_only(p_):
         return fd_mod.apply(va_fd, p_)
 
-    timed("    FoldingDense output proj", folding_only, spre)
+    timed("    FoldingDense output proj", folding_only, spre, k=2)
+    del spre
 
     # FFN tail (fused pallas) on representative input
     from lss2_multimodal_nu_tpu.ops import ffn_pallas

@@ -37,9 +37,10 @@ def main():
 
     # the fused FFN kernel is inference-only (no VJP); the real train path
     # uses the XLA modules, so disable it for this grad-profiling session
-    from lss2_multimodal_nu_tpu.ops import ffn_pallas
+    from lss2_multimodal_nu_tpu.ops import ffn_pallas, seg_head_pallas
 
     ffn_pallas._ENABLED = False
+    seg_head_pallas._ENABLED = False  # also inference-only (no JVP)
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"

@@ -66,6 +66,70 @@ def test_nonmultiple_query_count_pads():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def _smooth_inputs(seed=0):
+    """Raster locations + sub-pixel offsets: adjacent queries sample
+    adjacent pixels, so 8-query groups hit the coalesced fast path."""
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.normal(size=(BH, DH, N)).astype(np.float32))
+    ys, xs = np.meshgrid(
+        np.linspace(0, 1, H, dtype=np.float32),
+        np.linspace(0, 1, W, dtype=np.float32),
+        indexing="ij",
+    )
+    ref = np.stack([xs, ys], axis=-1).reshape(1, 1, N, 2)
+    off = rng.uniform(-0.3, 0.3, size=(BH, NPTS, 1, 2)).astype(np.float32) / W
+    locs = jnp.asarray(np.clip(ref + off, 0.0, 1.0))
+    attn = jnp.asarray(rng.uniform(0, 1, size=(BH, NPTS, N)).astype(np.float32))
+    return v, jnp.broadcast_to(locs, (BH, NPTS, N, 2)), attn
+
+
+@pytest.fixture()
+def _coalesce_on():
+    """_COALESCE defaults OFF (measured slower on v5e — see the flag's
+    A/B block); these tests force it on to keep the fast path's SEMANTICS
+    covered in the interpreter."""
+    old = dp._COALESCE
+    dp._COALESCE = True
+    yield
+    dp._COALESCE = old
+
+
+def test_coalesced_consecutive_groups_exact(_coalesce_on):
+    """Smooth sampling fields take the run-length-coalesced fast path
+    (one (8,128) load per group); result must be bit-identical in
+    semantics to the dispersed slow path / patch oracle."""
+    v, locs, attn = _smooth_inputs(7)
+    out = jax.jit(
+        lambda a, b, c: dp.deformable_sample_combine_pallas(a, b, c, H, W)
+    )(v, locs, attn)
+    ref = deformable_sample_combine_patch(v, locs, attn, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_coalesced_gradients_match_patch_path(_coalesce_on):
+    v, locs, attn = _smooth_inputs(8)
+    lx, ly = locs[..., 0], locs[..., 1]
+
+    def f_pallas(v, lx, ly, attn):
+        o = dp.deformable_sample_combine_pallas_xy(v, lx, ly, attn, H, W)
+        return jnp.sum(o * o)
+
+    def f_patch(v, lx, ly, attn):
+        from lss2_multimodal_nu_tpu.ops.deformable_sampling import (
+            deformable_sample_combine_patch_xy,
+        )
+
+        o = deformable_sample_combine_patch_xy(v, lx, ly, attn, H, W)
+        return jnp.sum(o * o)
+
+    gp = jax.jit(jax.grad(f_pallas, argnums=(0, 1, 2, 3)))(v, lx, ly, attn)
+    go = jax.jit(jax.grad(f_patch, argnums=(0, 1, 2, 3)))(v, lx, ly, attn)
+    for a, b in zip(gp, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        )
+
+
 def test_gradients_match_patch_path():
     v, locs, attn = _inputs(3)
 
