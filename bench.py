@@ -155,6 +155,26 @@ def main():
     except Exception as e:  # keep the headline alive if training bench breaks
         extras["train_bench_error"] = f"{type(e).__name__}: {e}"[:120]
 
+    if family == "vovnet_transformer":
+        # also record the published paper model (no GPU claim exists for it;
+        # vs the same 27.5 FPS midpoint for scale — see PERF.md)
+        try:
+            cfg_bt = Config(
+                model=ModelConfig(
+                    family="bev_txt", vovnet_type="vovnet39", lss_version="v2",
+                    effnet_variant="b4", compute_dtype=dtype,
+                )
+            )
+            model_bt = build_model(cfg_bt)
+            vars_bt = jax.jit(model_bt.init)(
+                jax.random.PRNGKey(0), *_fake_inputs(b=batch, seed=0)
+            )
+            per_bt = bench_forward(jax, jnp, model_bt, vars_bt, batch, floor=floor)
+            extras["bevtxt_frames_per_sec"] = round(batch / per_bt, 2)
+            extras["bevtxt_vs_claim"] = round(batch / per_bt / 27.5, 2)
+        except Exception as e:
+            extras["bevtxt_bench_error"] = f"{type(e).__name__}: {e}"[:120]
+
     print(
         json.dumps(
             {
