@@ -185,6 +185,46 @@ def test_backward_kernel_matches_xla_backward():
         )
 
 
+@pytest.fixture()
+def _hbm_table():
+    """_TABLE_BUILD defaults to "kernel" (no HBM patch table); force the
+    "hbm" fallback (channel-major table shipped through HBM, transposed
+    in-kernel) so its semantics stay covered."""
+    old = dp._TABLE_BUILD
+    dp._TABLE_BUILD = "hbm"
+    yield
+    dp._TABLE_BUILD = old
+
+
+def test_hbm_table_mode_forward(_hbm_table):
+    v, locs, attn = _inputs(9)
+    out = jax.jit(
+        lambda a, b, c: dp.deformable_sample_combine_pallas(a, b, c, H, W)
+    )(v, locs, attn)
+    ref = deformable_sample_combine_patch(v, locs, attn, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_hbm_table_mode_backward(_hbm_table):
+    """hbm-mode backward emits the row-major gradient table and folds dv in
+    XLA (`_bwd_pallas`'s `_TABLE_BUILD != "kernel"` branch) — check all four
+    cotangents against the XLA patch-path VJP, non-multiple query count."""
+    v, locs, attn = _inputs(10)
+    n = N - 5
+    lx, ly = locs[..., 0][:, :, :n], locs[..., 1][:, :, :n]
+    attn = attn[:, :, :n]
+    rng = np.random.default_rng(11)
+    gq = jnp.asarray(rng.normal(size=(BH, n, DH)).astype(np.float32))
+    g = jnp.tile(gq, (1, 1, 4))  # quadrant-replicated, per the contract
+    res = (v, lx, ly, attn)
+    out1 = jax.jit(lambda r, c: dp._bwd_pallas(H, W, r, c))(res, g)
+    out2 = jax.jit(lambda r, c: dp._bwd_xla(H, W, r, c))(res, g)
+    for name, a, b in zip(("dv", "dlx", "dly", "dattn"), out1, out2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
 def test_supports_gate():
     assert dp.supports(32)
     assert not dp.supports(64)
