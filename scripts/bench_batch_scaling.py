@@ -1,0 +1,55 @@
+"""Flagship forward throughput vs batch size (frames/s/chip).
+
+The headline metric is 6-cam frames/sec/chip and the batch is ours to
+choose; this sweep checks whether a larger batch amortizes the
+non-sampling stages enough to move the headline (the sampling kernel is
+strictly linear in B — its per-bh table build and gather loop both scale
+with B*heads, so any gain must come from conv/matmul utilization).
+
+Usage: python scripts/bench_batch_scaling.py [batches...] [--dtype bf16]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+    from bench import bench_forward, measure_floor
+    from __graft_entry__ import _fake_inputs
+    from lss2_multimodal_nu_tpu.config import Config, ModelConfig
+    from lss2_multimodal_nu_tpu.models.factory import build_model
+
+    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [6, 8, 12]
+    cfg = Config(
+        model=ModelConfig(
+            family="vovnet_transformer", vovnet_type="vovnet39",
+            lss_version="v2", compute_dtype="bfloat16",
+        )
+    )
+    model = build_model(cfg)
+    floor = measure_floor(jax, jnp)
+    print(f"call floor: {floor * 1e3:.1f} ms")
+    for b in batches:
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), *_fake_inputs(b=b, seed=0)
+        )
+        per = bench_forward(jax, jnp, model, variables, b, k=4, floor=floor)
+        print(f"B={b:3d}: {per * 1e3:8.1f} ms/batch  {b / per:7.1f} frames/s/chip")
+
+
+if __name__ == "__main__":
+    main()

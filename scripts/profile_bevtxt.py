@@ -1,0 +1,214 @@
+"""Per-stage timing of the BevTxt (published paper model) forward on the
+real TPU chip — same floor-subtracted, scan-amortized methodology as
+`profile_flagship.py`, so stage times sum (approximately) to the
+end-to-end frame time.
+
+Usage: python scripts/profile_bevtxt.py [batch] [dtype]
+"""
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax.numpy as jnp
+
+    from bench import measure_floor
+    from lss2_multimodal_nu_tpu.config import Config, ModelConfig
+    from lss2_multimodal_nu_tpu.models.factory import build_model
+    from __graft_entry__ import _fake_inputs
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    cfg = Config(
+        model=ModelConfig(
+            family="bev_txt", effnet_variant="b4", compute_dtype=dtype
+        )
+    )
+    model = build_model(cfg)
+    inputs = _fake_inputs(b=batch, seed=0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *inputs)
+    floor = measure_floor(jax, jnp)
+    print(f"call floor: {floor*1e3:.1f} ms")
+
+    K, M = 6, 3
+    b, n = batch, 6
+
+    def timed(name, fn, *stacked_args):
+        @jax.jit
+        def run(va, args):
+            def one(t):
+                out = fn(va, *t)
+                leaves = jax.tree.leaves(out)
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in leaves)
+
+            return jnp.sum(jax.lax.map(one, args))
+
+        args = jax.block_until_ready(stacked_args)
+        float(run(variables, args))
+        best = float("inf")
+        for _ in range(M):
+            t0 = time.time()
+            float(run(variables, args))
+            best = min(best, time.time() - t0)
+        ms = max(best - floor, 0.0) / K * 1e3
+        print(f"{name:36s} {ms:8.2f} ms   ({ms/batch:6.2f} ms/frame)")
+        return ms
+
+    # ---- precompute stage inputs on device ----
+    @jax.jit
+    def prefix(va, imgs, rots, trans, intrins, post_rots, post_trans):
+        def go(mod, imgs, rots, trans, intrins, post_rots, post_trans):
+            x = imgs.reshape(b * n, *imgs.shape[2:])
+            cam_feats = mod.lss.encoder(x, False)
+            depth, feat = mod.lss.camencode(cam_feats, False)
+            fh, fw = feat.shape[1], feat.shape[2]
+            from lss2_multimodal_nu_tpu.core.geometry import (
+                get_geometry,
+                voxel_indices,
+            )
+            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
+
+            dep = jnp.moveaxis(
+                depth.reshape(b, n, fh, fw, mod.lss.depth_bins), -1, 2
+            )
+            fe = feat.reshape(b, n, fh, fw, mod.lss.cam_c)
+            geom = get_geometry(
+                jnp.asarray(mod.lss.frustum), rots, trans, intrins,
+                post_rots, post_trans,
+            )
+            idx, valid = voxel_indices(geom, mod.lss.dx, mod.lss.bx, mod.lss.nx)
+            vox = lift_splat(fe, dep, idx, valid, mod.lss.nx)
+            bev = mod.lss.bevencode(vox, False)
+            return cam_feats, feat, depth, vox, bev
+
+        return model.apply(
+            va, imgs, rots, trans, intrins, post_rots, post_trans, method=go
+        )
+
+    cam_feats, feat, depth, vox, bev = jax.block_until_ready(
+        prefix(variables, *inputs)
+    )
+
+    def stack(x, jitter=1e-3):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.stack([x + jnp.asarray(jitter * i, x.dtype) for i in range(K)])
+        return jnp.stack([x] * K)
+
+    sets = [_fake_inputs(b=batch, seed=s) for s in range(K)]
+    st_inputs = tuple(jnp.stack([s[i] for s in sets]) for i in range(6))
+
+    t_full = timed("FULL forward", lambda va, *ins: model.apply(va, *ins), *st_inputs)
+
+    def encoder(va, imgs):
+        def go(mod, imgs):
+            x = imgs.reshape(b * n, *imgs.shape[2:])
+            return mod.lss.encoder(x, False)
+
+        return model.apply(va, imgs, method=go)
+
+    t_enc = timed("encoder (EffNet-B4 x6 cams)", encoder, st_inputs[0])
+
+    scf = stack(cam_feats)
+
+    def camenc(va, cf):
+        def go(mod, cf):
+            return mod.lss.camencode(cf, False)
+
+        return model.apply(va, cf, method=go)
+
+    t_ce = timed("camencode (depthnet)", camenc, scf)
+
+    sfeat, sdepth = stack(feat), stack(depth)
+    st_geo = tuple(st_inputs[i] for i in range(1, 6))
+
+    def liftsplat(va, feat, depth, rots, trans, intrins, post_rots, post_trans):
+        def go(mod, feat, depth, rots, trans, intrins, post_rots, post_trans):
+            from lss2_multimodal_nu_tpu.core.geometry import (
+                get_geometry,
+                voxel_indices,
+            )
+            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
+
+            fh, fw = feat.shape[1], feat.shape[2]
+            dep = jnp.moveaxis(
+                depth.reshape(b, n, fh, fw, mod.lss.depth_bins), -1, 2
+            )
+            fe = feat.reshape(b, n, fh, fw, mod.lss.cam_c)
+            geom = get_geometry(
+                jnp.asarray(mod.lss.frustum), rots, trans, intrins,
+                post_rots, post_trans,
+            )
+            idx, valid = voxel_indices(geom, mod.lss.dx, mod.lss.bx, mod.lss.nx)
+            return lift_splat(fe, dep, idx, valid, mod.lss.nx)
+
+        return model.apply(
+            va, feat, depth, rots, trans, intrins, post_rots, post_trans, method=go
+        )
+
+    t_ls = timed("geometry + lift_splat", liftsplat, sfeat, sdepth, *st_geo)
+
+    svox = stack(vox)
+
+    def bevenc(va, v):
+        def go(mod, v):
+            return mod.lss.bevencode(v, False)
+
+        return model.apply(va, v, method=go)
+
+    t_be = timed("bevencode (ResNet18 decoder)", bevenc, svox)
+
+    sbev, scf2 = stack(bev), stack(cam_feats)
+
+    def txt(va, bev, cam_feats):
+        def go(mod, bev, cam_feats):
+            from lss2_multimodal_nu_tpu.models.bev_txt import CROP_X, CROP_Y
+
+            crop = bev[:, CROP_X[0] : CROP_X[1], CROP_Y[0] : CROP_Y[1], :]
+            bev_post = mod.bevpost(crop, False)
+            y1 = mod.sceneunder(cam_feats, False)
+            y1 = y1.reshape(b, n, y1.shape[1], y1.shape[2], -1)
+            y_fl, y_f, y_fr, y_bl, y_br = (
+                y1[:, 0], y1[:, 1], y1[:, 2], y1[:, 3], y1[:, 5]
+            )
+
+            def side(cam):
+                e = mod.embeder_lr1(cam, False)
+                e = jnp.concatenate([e, bev_post], axis=-1)
+                e = mod.embeder_lr2(e, False)
+                return mod.predictorlr(e)
+
+            ef = mod.embeder_f1(y_f, False)
+            ef = jnp.concatenate([ef, bev_post], axis=-1)
+            ef = mod.embeder_f2(ef, False)
+            act = mod.predictorf2(ef)
+            desc_f = mod.predictorf1(ef)
+            desc = jnp.concatenate(
+                [desc_f, side(y_fl), side(y_bl), side(y_fr), side(y_br)], axis=-1
+            )
+            return act, desc
+
+        return model.apply(va, bev, cam_feats, method=go)
+
+    t_tx = timed("TXT branch (ASPP..predictors)", txt, sbev, scf2)
+
+    acc = t_enc + t_ce + t_ls + t_be + t_tx
+    print(f"{'stage sum':36s} {acc:8.2f} ms   (full: {t_full:.2f})")
+
+
+if __name__ == "__main__":
+    main()
