@@ -16,6 +16,7 @@ over its own shard of indices (`host_shard`).
 """
 from __future__ import annotations
 
+import multiprocessing
 import os
 import queue
 import threading
@@ -87,8 +88,18 @@ class DataLoader:
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         if self.worker_type == "process":
+            # NEVER fork: by loader time the parent is a multithreaded JAX
+            # process and fork()ing it is a latent deadlock (os.fork warns).
+            # forkserver forks workers from a clean single-threaded server
+            # (cheap per-epoch restart); spawn is the portable fallback.
+            # Datasets stay picklable and jax-free at import time by design.
+            try:
+                ctx = multiprocessing.get_context("forkserver")
+            except ValueError:
+                ctx = multiprocessing.get_context("spawn")
             pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
+                mp_context=ctx,
                 initializer=_worker_init,
                 initargs=(self.dataset, self.seed),
             )

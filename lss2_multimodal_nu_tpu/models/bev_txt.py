@@ -79,39 +79,21 @@ class BevTxt(nn.Module):
         self.predictorf2 = Predictor(4, dtype=self.dtype, name="predictorf2")
         self.predictorlr = Predictor(1, dtype=self.dtype, name="predictorlr")
 
-    def __call__(self, imgs, rots, trans, intrins, post_rots, post_trans, train: bool = False):
-        b, n = imgs.shape[0], imgs.shape[1]
+    def txt_branch(self, bev, cam_feats, train: bool = False):
+        """TXT branch: (bev (B,X,Y,4), cam_feats (B*N,fh,fw,512)) -> (act, desc).
 
-        # shared camera features (B*N, fh, fw, 512)
-        x = imgs.reshape(b * n, *imgs.shape[2:])
-        cam_feats = self.lss.encoder(x, train)
-
-        # ---- BEV branch ----
-        depth, feat = self.lss.camencode(cam_feats, train)
-        fh, fw = feat.shape[1], feat.shape[2]
-        depth = jnp.moveaxis(
-            depth.reshape(b, n, fh, fw, self.lss.depth_bins), -1, 2
-        )
-        feat = feat.reshape(b, n, fh, fw, self.lss.cam_c)
-        from ..core.geometry import get_geometry, voxel_indices
-        from ..ops.lift_splat import lift_splat
-
-        geom = get_geometry(
-            jnp.asarray(self.lss.frustum), rots, trans, intrins, post_rots, post_trans
-        )
-        idx, valid = voxel_indices(geom, self.lss.dx, self.lss.bx, self.lss.nx)
-        vox = lift_splat(feat, depth, idx, valid, self.lss.nx)
-        bev = self.lss.bevencode(vox, train)
-
-        # ---- TXT branch ----
-        # detach: no TXT->BEV gradient (reference model_BEV_TXT.py:285)
+        The BEV crop is detached here: no TXT->BEV gradient (reference
+        model_BEV_TXT.py:285).
+        """
+        b = bev.shape[0]
+        n = cam_feats.shape[0] // b
         crop = jax.lax.stop_gradient(bev)[
             :, CROP_X[0] : CROP_X[1], CROP_Y[0] : CROP_Y[1], :
         ]
         bev_post = self.bevpost(crop, train)  # (B, 8, 22, 8)
 
         y1 = self.sceneunder(cam_feats, train)  # (B*N, fh, fw, 256)
-        y1 = y1.reshape(b, n, fh, fw, -1)
+        y1 = y1.reshape(b, n, y1.shape[1], y1.shape[2], -1)
         # camera order: FL F FR BL B BR; CAM_BACK (4) unused
         y_fl, y_f, y_fr, y_bl, y_br = (
             y1[:, 0], y1[:, 1], y1[:, 2], y1[:, 3], y1[:, 5]
@@ -134,4 +116,19 @@ class BevTxt(nn.Module):
         desc = jnp.concatenate(
             [desc_f, side(y_fl), side(y_bl), side(y_fr), side(y_br)], axis=-1
         )
+        return act, desc
+
+    def __call__(self, imgs, rots, trans, intrins, post_rots, post_trans, train: bool = False):
+        b, n = imgs.shape[0], imgs.shape[1]
+
+        # shared camera features (B*N, fh, fw, 512)
+        x = imgs.reshape(b * n, *imgs.shape[2:])
+        cam_feats = self.lss.encoder(x, train)
+
+        # ---- BEV branch ----
+        depth, feat = self.lss.lift(cam_feats, b, n, train)
+        vox = self.lss.splat(feat, depth, rots, trans, intrins, post_rots, post_trans)
+        bev = self.lss.bevencode(vox, train)
+
+        act, desc = self.txt_branch(bev, cam_feats, train)
         return bev, act, desc

@@ -51,25 +51,33 @@ class LSS(nn.Module):
             out_features=self.cfg.model.seg_classes, dtype=self.dtype, name="bevencode"
         )
 
-    def encode_cameras(self, imgs, train: bool):
-        """imgs (B,N,H,W,3) -> depth (B,N,D,fh,fw), feat (B,N,fh,fw,C)."""
-        b, n, h, w, c = imgs.shape
-        x = imgs.reshape(b * n, h, w, c)
-        x = self.encoder(x, train)
-        depth, feat = self.camencode(x, train)
+    def lift(self, cam_feats, b: int, n: int, train: bool):
+        """cam_feats (B*N,fh,fw,512) -> depth (B,N,D,fh,fw), feat (B,N,fh,fw,C)."""
+        depth, feat = self.camencode(cam_feats, train)
         fh, fw = feat.shape[1], feat.shape[2]
         depth = depth.reshape(b, n, fh, fw, self.depth_bins)
         depth = jnp.moveaxis(depth, -1, 2)  # (B,N,D,fh,fw)
         feat = feat.reshape(b, n, fh, fw, self.cam_c)
         return depth, feat
 
-    def build_bev(self, imgs, rots, trans, intrins, post_rots, post_trans, train: bool):
-        depth, feat = self.encode_cameras(imgs, train)
+    def splat(self, feat, depth, rots, trans, intrins, post_rots, post_trans):
+        """Geometry + voxel splat: -> BEV features (B, X, Y, C)."""
         geom = get_geometry(
             jnp.asarray(self.frustum), rots, trans, intrins, post_rots, post_trans
         )
         idx, valid = voxel_indices(geom, self.dx, self.bx, self.nx)
         return lift_splat(feat, depth, idx, valid, self.nx)
+
+    def encode_cameras(self, imgs, train: bool):
+        """imgs (B,N,H,W,3) -> depth (B,N,D,fh,fw), feat (B,N,fh,fw,C)."""
+        b, n, h, w, c = imgs.shape
+        x = imgs.reshape(b * n, h, w, c)
+        x = self.encoder(x, train)
+        return self.lift(x, b, n, train)
+
+    def build_bev(self, imgs, rots, trans, intrins, post_rots, post_trans, train: bool):
+        depth, feat = self.encode_cameras(imgs, train)
+        return self.splat(feat, depth, rots, trans, intrins, post_rots, post_trans)
 
     def __call__(self, imgs, rots, trans, intrins, post_rots, post_trans, train: bool = False):
         bev = self.build_bev(imgs, rots, trans, intrins, post_rots, post_trans, train)

@@ -33,11 +33,23 @@ def main():
     from lss2_multimodal_nu_tpu.config import Config, ModelConfig
     from lss2_multimodal_nu_tpu.models.factory import build_model
 
-    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [6, 8, 12]
+    batches, dtype = [], "bfloat16"
+    argv = iter(sys.argv[1:])
+    for a in argv:
+        if a == "--dtype":
+            d = next(argv, None)
+            if d is None:
+                sys.exit("--dtype needs a value (bf16|f32)")
+            dtype = {"bf16": "bfloat16", "f32": "float32"}.get(d, d)
+        elif a.isdigit():
+            batches.append(int(a))
+        else:
+            sys.exit(f"unrecognized argument: {a!r}")
+    batches = batches or [6, 8, 12]
     cfg = Config(
         model=ModelConfig(
             family="vovnet_transformer", vovnet_type="vovnet39",
-            lss_version="v2", compute_dtype="bfloat16",
+            lss_version="v2", compute_dtype=dtype,
         )
     )
     model = build_model(cfg)

@@ -70,29 +70,17 @@ def main():
         return ms
 
     # ---- precompute stage inputs on device ----
+    # composes ONLY model methods (LSS.lift/splat, BevTxt.txt_branch) so the
+    # profiled math can never drift from BevTxt.__call__'s semantics
     @jax.jit
     def prefix(va, imgs, rots, trans, intrins, post_rots, post_trans):
         def go(mod, imgs, rots, trans, intrins, post_rots, post_trans):
             x = imgs.reshape(b * n, *imgs.shape[2:])
             cam_feats = mod.lss.encoder(x, False)
-            depth, feat = mod.lss.camencode(cam_feats, False)
-            fh, fw = feat.shape[1], feat.shape[2]
-            from lss2_multimodal_nu_tpu.core.geometry import (
-                get_geometry,
-                voxel_indices,
+            depth, feat = mod.lss.lift(cam_feats, b, n, False)
+            vox = mod.lss.splat(
+                feat, depth, rots, trans, intrins, post_rots, post_trans
             )
-            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
-
-            dep = jnp.moveaxis(
-                depth.reshape(b, n, fh, fw, mod.lss.depth_bins), -1, 2
-            )
-            fe = feat.reshape(b, n, fh, fw, mod.lss.cam_c)
-            geom = get_geometry(
-                jnp.asarray(mod.lss.frustum), rots, trans, intrins,
-                post_rots, post_trans,
-            )
-            idx, valid = voxel_indices(geom, mod.lss.dx, mod.lss.bx, mod.lss.nx)
-            vox = lift_splat(fe, dep, idx, valid, mod.lss.nx)
             bev = mod.lss.bevencode(vox, False)
             return cam_feats, feat, depth, vox, bev
 
@@ -136,28 +124,9 @@ def main():
     sfeat, sdepth = stack(feat), stack(depth)
     st_geo = tuple(st_inputs[i] for i in range(1, 6))
 
-    def liftsplat(va, feat, depth, rots, trans, intrins, post_rots, post_trans):
-        def go(mod, feat, depth, rots, trans, intrins, post_rots, post_trans):
-            from lss2_multimodal_nu_tpu.core.geometry import (
-                get_geometry,
-                voxel_indices,
-            )
-            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
-
-            fh, fw = feat.shape[1], feat.shape[2]
-            dep = jnp.moveaxis(
-                depth.reshape(b, n, fh, fw, mod.lss.depth_bins), -1, 2
-            )
-            fe = feat.reshape(b, n, fh, fw, mod.lss.cam_c)
-            geom = get_geometry(
-                jnp.asarray(mod.lss.frustum), rots, trans, intrins,
-                post_rots, post_trans,
-            )
-            idx, valid = voxel_indices(geom, mod.lss.dx, mod.lss.bx, mod.lss.nx)
-            return lift_splat(fe, dep, idx, valid, mod.lss.nx)
-
+    def liftsplat(va, feat, depth, *geo):
         return model.apply(
-            va, feat, depth, rots, trans, intrins, post_rots, post_trans, method=go
+            va, feat, depth, *geo, method=lambda mod, *a: mod.lss.splat(*a)
         )
 
     t_ls = timed("geometry + lift_splat", liftsplat, sfeat, sdepth, *st_geo)
@@ -175,34 +144,7 @@ def main():
     sbev, scf2 = stack(bev), stack(cam_feats)
 
     def txt(va, bev, cam_feats):
-        def go(mod, bev, cam_feats):
-            from lss2_multimodal_nu_tpu.models.bev_txt import CROP_X, CROP_Y
-
-            crop = bev[:, CROP_X[0] : CROP_X[1], CROP_Y[0] : CROP_Y[1], :]
-            bev_post = mod.bevpost(crop, False)
-            y1 = mod.sceneunder(cam_feats, False)
-            y1 = y1.reshape(b, n, y1.shape[1], y1.shape[2], -1)
-            y_fl, y_f, y_fr, y_bl, y_br = (
-                y1[:, 0], y1[:, 1], y1[:, 2], y1[:, 3], y1[:, 5]
-            )
-
-            def side(cam):
-                e = mod.embeder_lr1(cam, False)
-                e = jnp.concatenate([e, bev_post], axis=-1)
-                e = mod.embeder_lr2(e, False)
-                return mod.predictorlr(e)
-
-            ef = mod.embeder_f1(y_f, False)
-            ef = jnp.concatenate([ef, bev_post], axis=-1)
-            ef = mod.embeder_f2(ef, False)
-            act = mod.predictorf2(ef)
-            desc_f = mod.predictorf1(ef)
-            desc = jnp.concatenate(
-                [desc_f, side(y_fl), side(y_bl), side(y_fr), side(y_br)], axis=-1
-            )
-            return act, desc
-
-        return model.apply(va, bev, cam_feats, method=go)
+        return model.apply(va, bev, cam_feats, method="txt_branch")
 
     t_tx = timed("TXT branch (ASPP..predictors)", txt, sbev, scf2)
 
