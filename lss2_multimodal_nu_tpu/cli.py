@@ -367,6 +367,56 @@ def run_predict(args, family: str):
     return info
 
 
+def run_port(args):
+    """One-shot torch-checkpoint -> Orbax conversion (real-weight day-one
+    readiness). Handles all three reference save formats — bare state_dict
+    (train.py:93-95), component-wise (pre_train_vovnet.py:465-477), full
+    training state (train_vovnet_transformer.py:573-594) — and prints the
+    missing/unmapped key report."""
+    from .port.torch_port import port_checkpoint_file
+    from .train import checkpoint as ckpt
+
+    kw = {}
+    if args.family == "vovnet_transformer":
+        kw = dict(
+            model_name=args.vovnet_type, lss_version=args.lss_version,
+            use_camera_attn=args.version_flags in ("V2", "V3"),
+            use_cross_attn=args.version_flags == "V3",
+        )
+    elif args.family in ("lss", "bev_txt", "bev_txt_onlybev"):
+        kw = dict(variant=args.effnet_variant)
+    params, batch_stats, report = port_checkpoint_file(
+        args.checkpoint, args.family, strict=args.strict, **kw
+    )
+    print(f"format: {report['format']}")
+    for k in ("epoch", "best_miou", "miou", "lss_version", "components"):
+        if k in report:
+            print(f"{k}: {report[k]}")
+    n_leaves = len(jax_tree_leaves(params))
+    print(f"ported {n_leaves} param tensors")
+    if report["missing"]:
+        print(f"missing torch keys ({len(report['missing'])}):")
+        for k in report["missing"][:20]:
+            print(f"  {k}")
+        if len(report["missing"]) > 20:
+            print(f"  ... +{len(report['missing']) - 20}")
+    if report["unmapped"]:
+        print(f"unmapped file keys ({len(report['unmapped'])}):")
+        for k in report["unmapped"][:20]:
+            print(f"  {k}")
+        if len(report["unmapped"]) > 20:
+            print(f"  ... +{len(report['unmapped']) - 20}")
+    ckpt.save_params(args.out, params, batch_stats)
+    print(f"saved Orbax params checkpoint: {args.out}")
+    return report
+
+
+def jax_tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
 def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-8,
                bsize: int = 6, max_grad_norm: float = 5.0, nepochs: int = 50,
                eval_every: int = 1, ckpt_every: int = 0, save_best: bool = False):
@@ -451,7 +501,26 @@ def main(argv=None):
                            help="act/desc-only eval (get_val_info_nobev, tools.py:344-395)")
         if name == "predict-iou":
             p.add_argument("--out_file", default="./b1_20.txt")
+    pp = sub.add_parser(
+        "port", help="convert a reference torch checkpoint to an Orbax params "
+                     "checkpoint (all three reference save formats)"
+    )
+    pp.add_argument("checkpoint", help="path to the .pt/.pth file")
+    pp.add_argument("--family", required=True,
+                    choices=["lss", "bev_txt", "bev_txt_onlybev", "vovnet_transformer"])
+    pp.add_argument("--out", required=True, help="output Orbax checkpoint dir")
+    pp.add_argument("--effnet_variant", default="b4")
+    pp.add_argument("--vovnet_type", default="vovnet39",
+                    choices=["vovnet39", "vovnet57", "vovnet99"])
+    pp.add_argument("--lss_version", default="v2", choices=["v1", "v2"])
+    pp.add_argument("--version_flags", default="V3", choices=["V1", "V2", "V3"])
+    pp.add_argument("--strict", action="store_true",
+                    help="error on any missing torch key (default: report only, "
+                         "matching the reference's tolerant warm starts)")
     args = parser.parse_args(argv)
+
+    if args.cmd == "port":
+        return run_port(args)
 
     if args.cmd == "pretrain":
         return run_training(args, "lss", with_txt=False, split_family="nuscenes_full")

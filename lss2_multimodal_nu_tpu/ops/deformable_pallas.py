@@ -82,6 +82,16 @@ _TABLE_BUILD = "kernel"
 # branching cannot beat it inside a Mosaic inner loop. Kept behind this
 # flag for reproducibility (tests cover both settings' semantics).
 _COALESCE = False
+# bf16-packed patch-table rows (forward, in-kernel build, bf16 values only).
+# Semantics-preserving when the model computes in bf16: the raw value map is
+# already bf16, so the f32 table holds bf16-exact values and packing loses
+# nothing. Halves the table's VMEM footprint (21 -> 10.5 MB) and the gathered
+# row width (512 -> 256 B). Probes whether the 4.3 cyc/row gather floor is
+# load-WIDTH-dependent or pure issue cost — note bf16 tiles pack two rows per
+# sublane, so a 1-row dynamic slice needs a half-sublane extract, which may
+# cost MORE issue slots than the full-width f32 load. Measurement lives in
+# PERF.md (probe result recorded there after the A/B run).
+_TABLE_BF16 = False
 
 
 def _hilo(t):
@@ -159,7 +169,7 @@ def _build_table_from_v(v_ref, timg_ref, tab_ref, *, h: int, w: int,
             out = jax.lax.dot_general(
                 t_hi, e, dn, preferred_element_type=jnp.float32
             ) + jax.lax.dot_general(t_lo, e, dn, preferred_element_type=jnp.float32)
-        timg_ref[k * ck : (k + 1) * ck, :] = out
+        timg_ref[k * ck : (k + 1) * ck, :] = out.astype(timg_ref.dtype)
 
     tab_ref[...] = jnp.zeros_like(tab_ref)
     lane_group = jax.lax.broadcasted_iota(jnp.int32, (w, cw), 1) // dh
@@ -287,7 +297,7 @@ def _kernel(
         acc = jnp.zeros((_QGROUP, cw), jnp.float32)
         for p in range(npts):
             rows = _gather_group(tab_ref, idx_ref, p, q0, rows_ref)
-            acc = acc + rows * wvec_ref[p, pl.ds(q0, _QGROUP), :]
+            acc = acc + rows.astype(jnp.float32) * wvec_ref[p, pl.ds(q0, _QGROUP), :]
         out_ref[0, pl.ds(q0, _QGROUP), :] = acc.astype(out_ref.dtype)
         return 0
 
@@ -328,12 +338,17 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
     wspec = pl.BlockSpec(
         (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
     )
+    tab_dtype = (
+        jnp.bfloat16
+        if (_TABLE_BF16 and geom is not None and tabt.dtype == jnp.bfloat16)
+        else jnp.float32
+    )
     scratch = [
-        pltpu.VMEM((r_pad, cw), jnp.float32),
+        pltpu.VMEM((r_pad, cw), tab_dtype),
         pltpu.VMEM((npts, qc, cw), jnp.float32),
     ]
     if geom is not None:
-        scratch.append(pltpu.VMEM((tabt.shape[2], cw), jnp.float32))
+        scratch.append(pltpu.VMEM((tabt.shape[2], cw), tab_dtype))
     if _COALESCE:
         scratch.append(pltpu.VMEM((_QGROUP, cw), jnp.float32))
     return pl.pallas_call(

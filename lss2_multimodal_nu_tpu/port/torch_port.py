@@ -244,6 +244,28 @@ def add_vovnet_timm(p: Porter, flax: str, torch: str, model_name: str):
             p.conv(f"{fb}/ese/fc", f"{tb}.attn.fc", bias=True)
 
 
+def add_vovnet_scratch(p: Porter, flax: str, torch: str, model_name="vovnet57"):
+    """VoVNetSimple <- the reference's from-scratch backbone
+    (src/vovnet_backbone.py:77-302): stem Sequential conv/bn at indices
+    (0,1),(3,4),(6,7); per OSA block `layers.{i}.0/.1` convs, `concat_conv.0/.1`,
+    and the biased `ese.fc` 1x1 conv (eSEModule, :11-24)."""
+    from ..nn.vovnet import VoVNetSimple
+
+    fx = (flax + "/") if flax else ""
+    tc = (torch + ".") if torch else ""
+    cfg = VoVNetSimple.STAGE_CONFIGS[model_name]
+    for i, t in enumerate((0, 3, 6)):
+        p.conv_bn(f"{fx}stem{i}", f"{tc}stem.{t}", f"{tc}stem.{t + 1}")
+    for s in range(4):
+        for b in range(cfg[s][0]):
+            fb = f"{fx}stage{s + 1}_block{b}"
+            tb = f"{tc}stage{s + 1}.{b}"
+            for i in range(5):
+                p.conv_bn(f"{fb}/conv{i}", f"{tb}.layers.{i}.0", f"{tb}.layers.{i}.1")
+            p.conv_bn(f"{fb}/concat_conv", f"{tb}.concat_conv.0", f"{tb}.concat_conv.1")
+            p.conv(f"{fb}/ese/fc", f"{tb}.ese.fc", bias=True)
+
+
 def add_depth_head(p: Porter, flax: str, torch: str):
     """_DepthHead <- Sequential(conv3x3, bn, relu, conv1x1)."""
     p.conv(f"{flax}/conv/conv", f"{torch}.0", bias=True)
@@ -321,6 +343,73 @@ def add_vovnet_transformer(p: Porter, model_name="vovnet39", lss_version="v2",
     p.layernorm("unified_predictor/enc_norm1", "unified_predictor.encoder.5")
     p.linear("unified_predictor/action_head", "unified_predictor.action_head")
     p.linear("unified_predictor/desc_head", "unified_predictor.desc_head")
+
+
+# ---------------------------------------------------------------- checkpoint files
+def load_reference_checkpoint(path: str):
+    """Load any of the reference's three checkpoint formats into ONE flat
+    torch-key -> ndarray dict plus metadata:
+
+      1. bare ``model.state_dict()``                    (train.py:93-95,
+         pre_train.py:84-86);
+      2. component-wise ``{X}_state_dict`` for X in backbone/depth_net/
+         cam_encode/bev_encoder (+epoch/miou/optimizer)  (pre_train_vovnet.py:
+         465-477) — component keys are re-prefixed ``X.<key>`` so they line up
+         with the full-model porter mappings (consumed at
+         train_vovnet_transformer.py:430-449);
+      3. full training state ``model_state_dict`` + optimizer/scheduler/
+         scaler/epoch/best_miou                        (train_vovnet_transformer.py:
+         573-594). Only the model weights are portable — torch Adam moments are
+         keyed by parameter *position*, not name, and the GradScaler has no
+         bf16 counterpart; the metadata is returned for logging.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    meta: Dict[str, Any] = {"format": "flat"}
+
+    def to_np(sd):
+        return {k: v.detach().cpu().numpy() for k, v in sd.items() if hasattr(v, "detach")}
+
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        meta["format"] = "full_state"
+        for k in ("epoch", "best_miou", "miou", "lss_version"):
+            if k in obj:
+                meta[k] = obj[k]
+        return to_np(obj["model_state_dict"]), meta
+    comp_keys = [k for k in obj if isinstance(k, str) and k.endswith("_state_dict")
+                 and k != "optimizer_state_dict"] if isinstance(obj, dict) else []
+    if comp_keys:
+        meta["format"] = "components"
+        meta["components"] = [k[: -len("_state_dict")] for k in comp_keys]
+        for k in ("epoch", "miou", "lss_version"):
+            if k in obj:
+                meta[k] = obj[k]
+        flat = {}
+        for ck in comp_keys:
+            comp = ck[: -len("_state_dict")]
+            flat.update({f"{comp}.{k}": v for k, v in to_np(obj[ck]).items()})
+        return flat, meta
+    return to_np(obj), meta
+
+
+def port_checkpoint_file(path: str, family: str, strict: bool = False, **kw):
+    """One-shot: reference torch checkpoint -> (params, batch_stats, report).
+
+    report = {"format", "missing" (torch keys the mapping wanted but the file
+    lacks — expected for component-wise warm starts), "unmapped" (file keys no
+    rule consumed — e.g. the dead `sceneunder` in model_baseline.BEV_TXT),
+    plus any checkpoint metadata}.
+    """
+    sd, meta = load_reference_checkpoint(path)
+    porter = build_porter(family, **kw)
+    params, batch_stats, missing = porter.run(sd, strict=strict)
+    consumed = {tkey for _, tkey, _ in porter.rules}
+    unmapped = sorted(
+        k for k in sd if k not in consumed and "num_batches_tracked" not in k
+    )
+    report = dict(meta, missing=sorted(missing), unmapped=unmapped)
+    return params, batch_stats, report
 
 
 # ---------------------------------------------------------------- entry points

@@ -34,6 +34,8 @@ def main():
 
     if os.environ.get("DEF_QGROUP"):
         deformable_pallas._QGROUP = int(os.environ["DEF_QGROUP"])
+    if os.environ.get("DEF_TABLE_BF16"):
+        deformable_pallas._TABLE_BF16 = True
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
