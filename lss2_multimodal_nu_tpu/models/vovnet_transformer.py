@@ -86,32 +86,39 @@ class VoVNetBEVTransformer(nn.Module):
             name="unified_predictor",
         )
 
-    def __call__(self, imgs, rots, trans, intrins, post_rots, post_trans, train: bool = False):
+    def encode_cameras(self, imgs, train: bool = False):
+        """Backbone over the flattened (B*N) camera stack -> (c3, c4)."""
         b, n = imgs.shape[0], imgs.shape[1]
         x = imgs.reshape(b * n, *imgs.shape[2:])
         feats = self.backbone(x, train)
-        c3, c4 = feats["c3"], feats["c4"]
+        return feats["c3"], feats["c4"]
 
-        # ---- BEV branch ----
+    def lift_to_bev(self, c3, c4, rots, trans, intrins, post_rots, post_trans,
+                    train: bool = False):
+        """Depth/feature heads + frustum geometry + fused lift-splat ->
+        (B, nx, nx, C) BEV features. Exposed as a method so profilers and
+        the bench time exactly the deployed stage (no re-inlined math)."""
+        b, n = rots.shape[0], rots.shape[1]
         depth = self.depth_net(c3, c4, train)  # (B*N, fh, fw, D)
         feat = self.cam_encode(c3)  # (B*N, fh, fw, C)
         fh, fw = feat.shape[1], feat.shape[2]
         depth = jnp.moveaxis(depth.reshape(b, n, fh, fw, self.depth_bins), -1, 2)
         feat = feat.reshape(b, n, fh, fw, self.cam_c)
-
         geom = get_geometry(
             jnp.asarray(self.frustum), rots, trans, intrins, post_rots, post_trans
         )
         idx, valid = voxel_indices(geom, self.dx, self.bx, self.nx)
-        bev_feats = lift_splat(feat, depth, idx, valid, self.nx)
-        bev_seg, bev_refined = self.bev_encoder(bev_feats, train)
+        return lift_splat(feat, depth, idx, valid, self.nx)
 
-        # ---- TXT branch ----
+    def txt_branch(self, c3, bev_refined, train: bool = False):
+        """Feature pyramid -> scene understanding -> (cross-)attention ->
+        unified action/description predictor."""
         pyr = self.feature_pyramid(c3, train)
         scene = self.sceneunder(pyr, train)
         scene_global = global_avg_pool(scene, keepdims=False)  # (B*N, 256)
-        scene_global = scene_global.reshape(b, n, -1)
-
+        n = self.n_cameras
+        scene_global = scene_global.reshape(-1, n, scene_global.shape[-1])
+        b = scene_global.shape[0]
         cam_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
         attended = scene_global
         if self.camera_transformer is not None:
@@ -119,5 +126,15 @@ class VoVNetBEVTransformer(nn.Module):
         fused = attended
         if self.bev_fusion is not None:
             fused = self.bev_fusion(fused, bev_refined, train)
-        action, desc = self.unified_predictor(fused, train)
+        return self.unified_predictor(fused, train)
+
+    def __call__(self, imgs, rots, trans, intrins, post_rots, post_trans, train: bool = False):
+        c3, c4 = self.encode_cameras(imgs, train)
+        # ---- BEV branch ----
+        bev_feats = self.lift_to_bev(
+            c3, c4, rots, trans, intrins, post_rots, post_trans, train
+        )
+        bev_seg, bev_refined = self.bev_encoder(bev_feats, train)
+        # ---- TXT branch ----
+        action, desc = self.txt_branch(c3, bev_refined, train)
         return bev_seg, action, desc

@@ -18,10 +18,54 @@ from flax import linen as nn
 Dtype = Any
 
 
+class _Conv1x1Split(nn.Module):
+    """1x1 conv over a CONCAT of inputs, computed as a sum of per-branch
+    matmuls without materializing the concat (algebraically identical;
+    partials accumulate in f32). Param tree matches nn.Conv exactly
+    (kernel (1, 1, sum(C_i), features) [+ bias]), so checkpoints and the
+    torch porter are unaffected. Motivation: XLA materializes the wide
+    concat through HBM; at VoVNet's late-stage shapes (4x11 spatial,
+    1888 ch) the layout-padded concat costs 3x the matmul itself
+    (scripts/bench_osa.py, v5e A/B: stage4 0.26 -> 0.08 ms)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs):
+        ctot = sum(t.shape[-1] for t in xs)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, ctot, self.features), jnp.float32,
+        )
+        k2 = kernel[0, 0].astype(self.dtype)
+        dn = (((3,), (0,)), ((), ()))
+        off = 0
+        acc = None
+        for t in xs:
+            c = t.shape[-1]
+            y = jax.lax.dot_general(
+                t.astype(self.dtype), k2[off : off + c], dn,
+                preferred_element_type=jnp.float32,
+            )
+            off += c
+            acc = y if acc is None else acc + y
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                jnp.float32,
+            )
+            acc = acc + bias
+        return acc.astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm + optional activation — the ubiquitous block.
 
     Matches torch nn.Conv2d(bias=False) + nn.BatchNorm2d(eps, momentum).
+    A LIST input is accepted for 1x1/s1 convs and means "conv over the
+    concat of these", computed concat-free (see _Conv1x1Split).
     """
 
     features: int
@@ -43,22 +87,33 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        padding = self.padding
-        if padding == "torch":
-            ph = self.dilation[0] * (self.kernel[0] - 1) // 2
-            pw = self.dilation[1] * (self.kernel[1] - 1) // 2
-            padding = [(ph, ph), (pw, pw)]
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding=padding,
-            kernel_dilation=self.dilation,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if isinstance(x, (list, tuple)):
+            assert (
+                self.kernel == (1, 1)
+                and self.strides == (1, 1)
+                and self.groups == 1
+            ), "list input (concat-free form) is only defined for 1x1/s1"
+            x = _Conv1x1Split(
+                self.features, use_bias=self.use_bias, dtype=self.dtype,
+                name="conv",
+            )(list(x))
+        else:
+            padding = self.padding
+            if padding == "torch":
+                ph = self.dilation[0] * (self.kernel[0] - 1) // 2
+                pw = self.dilation[1] * (self.kernel[1] - 1) // 2
+                padding = [(ph, ph), (pw, pw)]
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=padding,
+                kernel_dilation=self.dilation,
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

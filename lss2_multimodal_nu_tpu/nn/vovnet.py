@@ -80,9 +80,11 @@ class OSABlock(nn.Module):
                 x, train
             )
             outs.append(x)
-        x = jnp.concatenate(outs, axis=-1)
+        # concat-free aggregation: ConvBN's list form computes the 1x1 over
+        # the implicit concat as a sum of per-branch matmuls (identical
+        # params; see nn.layers._Conv1x1Split for the v5e A/B)
         x = ConvBN(self.out_features, (1, 1), dtype=self.dtype, name="concat_conv")(
-            x, train
+            outs, train
         )
         x = ESEModule(dtype=self.dtype, name="ese")(x)
         if self.residual and identity.shape[-1] == self.out_features:

@@ -85,13 +85,24 @@ _COALESCE = False
 # bf16-packed patch-table rows (forward, in-kernel build, bf16 values only).
 # Semantics-preserving when the model computes in bf16: the raw value map is
 # already bf16, so the f32 table holds bf16-exact values and packing loses
-# nothing. Halves the table's VMEM footprint (21 -> 10.5 MB) and the gathered
-# row width (512 -> 256 B). Probes whether the 4.3 cyc/row gather floor is
-# load-WIDTH-dependent or pure issue cost — note bf16 tiles pack two rows per
-# sublane, so a 1-row dynamic slice needs a half-sublane extract, which may
-# cost MORE issue slots than the full-width f32 load. Measurement lives in
-# PERF.md (probe result recorded there after the A/B run).
+# nothing. Would halve the table's VMEM footprint (21 -> 10.5 MB) and the
+# gathered row width (512 -> 256 B).
+# PROBED 2026-08-19, IMPOSSIBLE ON v5e — leave False. Mosaic tiles bf16 as
+# (16, 128) with two rows packed per sublane word and rejects any dynamic
+# sublane start it cannot prove 8-aligned: both the shifted table-assembly
+# copy (vector<200x128xbf16>) and, decisively, the 1-row arbitrary-index
+# gather load itself fail to compile with "cannot statically prove that
+# index in dimension 0 is a multiple of 8" (standalone micro-kernel probe:
+# f32 1-row dynamic loads compile and run; bf16 does not compile at all).
+# So the gather row is pinned to f32 width on this generation, and the
+# 4.3 cyc/row floor is issue cost, not load-width cost. See PERF.md.
 _TABLE_BF16 = False
+# Select-compose table assembly (forward, in-kernel build, aligned shapes):
+# compose each y-block's 4 quadrant lane-groups in registers from two MXU
+# transposes (plain + one-pixel-down) and store once — 4 loads + 1 store
+# per block instead of the RMW fallback's 8+4, and no full-table pre-zero.
+# Off switch kept for A/B (scripts/bench_sampling.py DEF_RMW=1).
+_SELECT_COMPOSE = True
 
 
 def _hilo(t):
@@ -134,7 +145,7 @@ def _transpose_chunks(src, tab_ref):
 
 
 def _build_table_from_v(v_ref, timg_ref, tab_ref, *, h: int, w: int,
-                        dh: int, pw: int):
+                        dh: int, pw: int, timg0_ref=None):
     """Build the row-major patch table (r_pad, 4*dh) f32 in VMEM directly
     from one bh's raw value map v_ref (1, dh, hw_pad) — no HBM patch table.
 
@@ -143,11 +154,27 @@ def _build_table_from_v(v_ref, timg_ref, tab_ref, *, h: int, w: int,
          across the four dh-lane groups (E[c, j] = [j % dh == c]), chunked
          128-aligned along hw;
       2. quadrant assembly: table row (y, x) wants image pixels
-         (y+dy-1, x+dx-1) in lane group g = 2*dy+dx; for each (y, g) that is
-         one contiguous-sublane copy of w rows from timg, lane-masked into
-         tab (read-modify-write; groups occupy disjoint lanes). Rows whose
-         source falls outside the image stay at the pre-zeroed value —
-         exactly grid_sample's zero padding.
+         (y+dy-1, x+dx-1) in lane group g = 2*dy+dx.
+
+    Assembly has two variants:
+      * timg0_ref=None (fallback, any w/pw): pre-zero the table, then for
+        each (y, g) one contiguous-sublane copy of w rows from timg,
+        lane-masked into tab (read-modify-write at dst y*pw + (1-dx)):
+        12 VMEM block-ops per y-block (8 loads + 4 stores).
+      * timg0_ref given (select-compose; requires w % 8 == 0 and pw % 8 == 0
+        so every dynamic sublane start is provably aligned): the transpose
+        additionally writes a copy shifted one pixel down
+        (timg0[m] = pixel m-1, absorbing the dx-1 column shift), then each
+        y-block is composed in registers from 4 aligned loads with 3
+        lane-group selects and written with ONE store — 4 loads + 1 store
+        per block, ~2.4x less VMEM traffic, and the full-table pre-zero
+        disappears (pad rows beyond ax=w are unreachable: gidx = ay*pw+ax
+        with ax <= w). x/y image edges become register masks / peeled
+        first+last blocks instead of skipped writes. A/B on v5e flagship
+        shapes (scripts/bench_sampling.py DEF_RMW=1, same session):
+        RMW 45.73 -> select-compose 44.72 ms/batch @B=6 bf16 — most of
+        the build already hid under the gather's software pipeline; the
+        kernel now sits at ~98%% of the 44.0 ms gather issue floor.
     """
     hw_pad = v_ref.shape[2]
     cw = 4 * dh
@@ -158,6 +185,10 @@ def _build_table_from_v(v_ref, timg_ref, tab_ref, *, h: int, w: int,
     ).astype(jnp.float32)
     dn = (((0,), (0,)), ((), ()))
     exact_in_bf16 = v_ref.dtype == jnp.bfloat16
+    if timg0_ref is not None:
+        # row 0 = pixel -1: out of image, and never masked downstream for
+        # m >= 1 reads (only block row ax=0 is masked), so zero it here
+        timg0_ref[0:8, :] = jnp.zeros((8, cw), timg0_ref.dtype)
     for k in range(hw_pad // ck):
         t = v_ref[0, :, k * ck : (k + 1) * ck].astype(jnp.float32)
         if exact_in_bf16:
@@ -170,25 +201,83 @@ def _build_table_from_v(v_ref, timg_ref, tab_ref, *, h: int, w: int,
                 t_hi, e, dn, preferred_element_type=jnp.float32
             ) + jax.lax.dot_general(t_lo, e, dn, preferred_element_type=jnp.float32)
         timg_ref[k * ck : (k + 1) * ck, :] = out.astype(timg_ref.dtype)
+        if timg0_ref is not None:
+            # same block shifted one row down: timg0[m] = pixel m-1
+            timg0_ref[k * ck + 1 : (k + 1) * ck + 1, :] = out.astype(
+                timg0_ref.dtype
+            )
 
-    tab_ref[...] = jnp.zeros_like(tab_ref)
     lane_group = jax.lax.broadcasted_iota(jnp.int32, (w, cw), 1) // dh
 
-    def yb(y, _):
-        for g in range(4):
-            dy, dx = g // 2, g % 2
-            yp = y + dy - 1
-            dst = y * pw + (1 - dx)
+    if timg0_ref is None:
+        tab_ref[...] = jnp.zeros_like(tab_ref)
 
-            @pl.when((yp >= 0) & (yp < h))
-            def _():
-                rows = timg_ref[pl.ds(yp * w, w), :]
-                cur = tab_ref[pl.ds(dst, w), :]
-                tab_ref[pl.ds(dst, w), :] = jnp.where(lane_group == g, rows, cur)
+        def yb(y, _):
+            for g in range(4):
+                dy, dx = g // 2, g % 2
+                yp = y + dy - 1
+                dst = y * pw + (1 - dx)
 
+                @pl.when((yp >= 0) & (yp < h))
+                def _():
+                    rows = timg_ref[pl.ds(yp * w, w), :]
+                    cur = tab_ref[pl.ds(dst, w), :]
+                    tab_ref[pl.ds(dst, w), :] = jnp.where(
+                        lane_group == g, rows, cur
+                    )
+
+            return 0
+
+        jax.lax.fori_loop(0, h + 1, yb, 0, unroll=False)
+        return
+
+    # --- select-compose assembly ---
+    zero_block = jnp.zeros((w, cw), jnp.float32)
+    # block row ax=0 of the dx=0 lane groups (0 and 2) = pixel x=-1 -> 0
+    ax0_dx0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, cw), 0) == 0
+    ) & (lane_group % 2 == 0)
+    row_group = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1) // dh
+
+    def compose(a, b, c, d):
+        top = jnp.where(lane_group == 0, a, b)  # dy=0: dx=0 / dx=1
+        bot = jnp.where(lane_group == 2, c, d)  # dy=1: dx=0 / dx=1
+        out = jnp.where(lane_group < 2, top, bot)
+        return jnp.where(ax0_dx0, 0.0, out)
+
+    def store_block(y, a, b, c, d):
+        tab_ref[pl.ds(y * pw, w), :] = compose(a, b, c, d)
+
+    def store_axw(y, ra, rc):
+        # table row (y, ax=w): only dx=0 groups are in-image (pixel x=w-1)
+        r = jnp.where(row_group == 0, ra, jnp.where(row_group == 2, rc, 0.0))
+        tab_ref[pl.ds(y * pw + w, 1), :] = r
+
+    # y = 0: dy=0 groups out of image
+    c0 = timg0_ref[pl.ds(0, w), :]
+    d0 = timg_ref[pl.ds(0, w), :]
+    store_block(0, zero_block, zero_block, c0, d0)
+    store_axw(0, jnp.zeros((1, cw), jnp.float32), timg0_ref[pl.ds(w, 1), :])
+
+    def yb2(y, _):
+        a = timg0_ref[pl.ds((y - 1) * w, w), :]
+        b = timg_ref[pl.ds((y - 1) * w, w), :]
+        c = timg0_ref[pl.ds(y * w, w), :]
+        d = timg_ref[pl.ds(y * w, w), :]
+        store_block(y, a, b, c, d)
+        # pixel (y-1, w-1) = timg0[y*w]; pixel (y, w-1) = timg0[(y+1)*w]
+        store_axw(y, timg0_ref[pl.ds(y * w, 1), :],
+                  timg0_ref[pl.ds((y + 1) * w, 1), :])
         return 0
 
-    jax.lax.fori_loop(0, h + 1, yb, 0, unroll=False)
+    jax.lax.fori_loop(1, h, yb2, 0, unroll=False)
+
+    # y = h: dy=1 groups out of image
+    ah = timg0_ref[pl.ds((h - 1) * w, w), :]
+    bh_ = timg_ref[pl.ds((h - 1) * w, w), :]
+    store_block(h, ah, bh_, zero_block, zero_block)
+    store_axw(h, timg0_ref[pl.ds(h * w, 1), :],
+              jnp.zeros((1, cw), jnp.float32))
 
 
 def _build_wvec_point(wx, wy, a, wvec_ref, *, dh: int, cw: int):
@@ -251,14 +340,16 @@ def _gather_group(tab_ref, idx_ref, p: int, q0, rows_ref=None):
 
 def _kernel(
     idx_ref, tabt_ref, wx_ref, wy_ref, at_ref, out_ref, tab_ref, wvec_ref,
-    *scratch, npts: int, dh: int, geom=None, n_real: int | None = None
+    *scratch, npts: int, dh: int, geom=None, n_real: int | None = None,
+    shifted: bool = False
 ):
     """geom=None: tabt_ref is the channel-major HBM patch table, transposed
     to row-major in-kernel. geom=(h, w, pw): tabt_ref is the RAW value map
     (1, dh, hw_pad) and the patch table is built in-kernel (scratch carries
-    the extra timg buffer). n_real bounds the gather loop on the final query
-    chunk (the query pad would otherwise do real gather work on clipped
-    indices — ~2.3%% of all rows at flagship shapes)."""
+    the extra timg buffer — plus the shifted timg0 when `shifted`, the
+    select-compose assembly). n_real bounds the gather loop on the final
+    query chunk (the query pad would otherwise do real gather work on
+    clipped indices — ~2.3%% of all rows at flagship shapes)."""
     qc = out_ref.shape[1]
     cw = out_ref.shape[2]
 
@@ -269,7 +360,8 @@ def _kernel(
         else:
             h, w, pw = geom
             _build_table_from_v(
-                tabt_ref, scratch[0], tab_ref, h=h, w=w, dh=dh, pw=pw
+                tabt_ref, scratch[0], tab_ref, h=h, w=w, dh=dh, pw=pw,
+                timg0_ref=scratch[1] if shifted else None,
             )
 
     for p in range(npts):
@@ -332,8 +424,15 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
         qc = min(_QC, n_pad)
     assert n_pad % qc == 0 and qc % _QGROUP == 0
     grid = (bh, n_pad // qc)
+    # select-compose assembly needs provably aligned dynamic sublane starts
+    shifted = (
+        _SELECT_COMPOSE
+        and geom is not None
+        and geom[1] % 8 == 0
+        and geom[2] % 8 == 0
+    )
     kern = functools.partial(
-        _kernel, npts=npts, dh=dh, geom=geom, n_real=n_real
+        _kernel, npts=npts, dh=dh, geom=geom, n_real=n_real, shifted=shifted
     )
     wspec = pl.BlockSpec(
         (1, npts, qc), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
@@ -349,6 +448,8 @@ def _sample_pallas(tabt, gidx, wx, wy, attn, npts: int, dh: int,
     ]
     if geom is not None:
         scratch.append(pltpu.VMEM((tabt.shape[2], cw), tab_dtype))
+        if shifted:  # timg0: one-pixel-down copy (+8 rows store slack)
+            scratch.append(pltpu.VMEM((tabt.shape[2] + 8, cw), tab_dtype))
     if _COALESCE:
         scratch.append(pltpu.VMEM((_QGROUP, cw), jnp.float32))
     return pl.pallas_call(
@@ -489,20 +590,27 @@ def _bwd_kernel(
             h, w, pw = geom
             timg_ref = scratch[0]
             hw_pad = timg_ref.shape[0]
-            timg_ref[...] = jnp.zeros_like(timg_ref)
+            # pad columns of dv (beyond h*w) are folded from stale forward
+            # timg contents unless zeroed; real rows are fully overwritten
+            # by the select-compose below (no full-buffer zero pass needed)
+            if hw_pad > h * w:
+                timg_ref[h * w :, :] = jnp.zeros(
+                    (hw_pad - h * w, cw), timg_ref.dtype
+                )
             lane_group = jax.lax.broadcasted_iota(jnp.int32, (w, cw), 1) // dh
 
             def yb(yp, _):
+                # all 4 quadrant sources composed in registers, ONE store
+                # per yp block (lane groups are disjoint: select == sum)
+                acc = jnp.zeros((w, cw), jnp.float32)
                 for gq in range(4):
                     dyq, dxq = gq // 2, gq % 2
                     src = (yp + 1 - dyq) * pw + (1 - dxq)
                     rows = gaccs[0][pl.ds(src, w), :]
                     for gr in gaccs[1:]:
                         rows = rows + gr[pl.ds(src, w), :]
-                    cur = timg_ref[pl.ds(yp * w, w), :]
-                    timg_ref[pl.ds(yp * w, w), :] = cur + jnp.where(
-                        lane_group == gq, rows, 0.0
-                    )
+                    acc = acc + jnp.where(lane_group == gq, rows, 0.0)
+                timg_ref[pl.ds(yp * w, w), :] = acc
                 return 0
 
             jax.lax.fori_loop(0, h, yb, 0, unroll=False)

@@ -36,6 +36,8 @@ def main():
         deformable_pallas._QGROUP = int(os.environ["DEF_QGROUP"])
     if os.environ.get("DEF_TABLE_BF16"):
         deformable_pallas._TABLE_BF16 = True
+    if os.environ.get("DEF_RMW"):  # force the RMW assembly fallback (A/B)
+        deformable_pallas._SELECT_COMPOSE = False
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"

@@ -78,33 +78,19 @@ def main():
 
     @jax.jit
     def prefix(va, imgs, rots, trans, intrins, post_rots, post_trans):
+        # the model's OWN stage methods (no re-inlined math — a layout
+        # change in the model cannot silently desync this profiler)
         def go(mod, imgs, rots, trans, intrins, post_rots, post_trans):
-            x = imgs.reshape(b * n, *imgs.shape[2:])
-            feats = mod.backbone(x, False)
-            c3, c4 = feats["c3"], feats["c4"]
-            depth = mod.depth_net(c3, c4, False)
-            feat = mod.cam_encode(c3)
-            fh, fw = feat.shape[1], feat.shape[2]
-            from lss2_multimodal_nu_tpu.core.geometry import (
-                get_geometry,
-                voxel_indices,
+            c3, c4 = mod.encode_cameras(imgs, False)
+            bev_feats = mod.lift_to_bev(
+                c3, c4, rots, trans, intrins, post_rots, post_trans, False
             )
-            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
-
-            dep = jnp.moveaxis(depth.reshape(b, n, fh, fw, mod.depth_bins), -1, 2)
-            fe = feat.reshape(b, n, fh, fw, mod.cam_c)
-            geom = get_geometry(
-                jnp.asarray(mod.frustum), rots, trans, intrins, post_rots, post_trans
-            )
-            idx, valid = voxel_indices(geom, mod.dx, mod.bx, mod.nx)
-            bev_feats = lift_splat(fe, dep, idx, valid, mod.nx)
             bev_seg, bev_refined = mod.bev_encoder(bev_feats, False)
-            pyr = mod.feature_pyramid(c3, False)
-            return c3, c4, feat, depth, idx, valid, bev_feats, bev_refined, pyr
+            return c3, c4, bev_feats, bev_refined
 
         return model.apply(va, imgs, rots, trans, intrins, post_rots, post_trans, method=go)
 
-    c3, c4, feat, depth, idx, valid, bev_feats, bev_refined, pyr = jax.block_until_ready(
+    c3, c4, bev_feats, bev_refined = jax.block_until_ready(
         prefix(variables, *inputs)
     )
 
@@ -123,81 +109,37 @@ def main():
 
     t_full = timed("FULL forward", full, *st_inputs)
 
-    def backbone(va, imgs):
-        def go(mod, imgs):
-            x = imgs.reshape(b * n, *imgs.shape[2:])
-            f = mod.backbone(x, False)
-            return f["c3"], f["c4"]
-
-        return model.apply(va, imgs, method=go)
-
-    t_bb = timed("backbone (VoVNet39 x6 cams)", backbone, st_inputs[0])
+    t_bb = timed(
+        "backbone (VoVNet39 x6 cams)",
+        lambda va, imgs: model.apply(va, imgs, method="encode_cameras"),
+        st_inputs[0],
+    )
 
     sc3, sc4 = stack(c3), stack(c4)
-
-    def depthcam(va, c3, c4):
-        def go(mod, c3, c4):
-            return mod.depth_net(c3, c4, False), mod.cam_encode(c3)
-
-        return model.apply(va, c3, c4, method=go)
-
-    t_dc = timed("depth_net + cam_encode", depthcam, sc3, sc4)
-
-    sfeat, sdepth = stack(feat), stack(depth)
     st_geo = tuple(st_inputs[i] for i in range(1, 6))
-
-    def liftsplat(va, feat, depth, rots, trans, intrins, post_rots, post_trans):
-        def go(mod, feat, depth, rots, trans, intrins, post_rots, post_trans):
-            from lss2_multimodal_nu_tpu.core.geometry import (
-                get_geometry,
-                voxel_indices,
-            )
-            from lss2_multimodal_nu_tpu.ops.lift_splat import lift_splat
-
-            fh, fw = feat.shape[1], feat.shape[2]
-            dep = jnp.moveaxis(depth.reshape(b, n, fh, fw, mod.depth_bins), -1, 2)
-            fe = feat.reshape(b, n, fh, fw, mod.cam_c)
-            geom = get_geometry(
-                jnp.asarray(mod.frustum), rots, trans, intrins, post_rots, post_trans
-            )
-            idx, valid = voxel_indices(geom, mod.dx, mod.bx, mod.nx)
-            return lift_splat(fe, dep, idx, valid, mod.nx)
-
-        return model.apply(
-            va, feat, depth, rots, trans, intrins, post_rots, post_trans, method=go
-        )
-
-    t_ls = timed("geometry + lift_splat", liftsplat, sfeat, sdepth, *st_geo)
+    t_ls = timed(
+        "depth+cam+geometry+lift_splat",
+        lambda va, *a: model.apply(va, *a, method="lift_to_bev"),
+        sc3, sc4, *st_geo,
+    )
 
     sbev = stack(bev_feats)
-
-    def bevenc(va, bf):
-        def go(mod, bf):
-            return mod.bev_encoder(bf, False)
-
-        return model.apply(va, bf, method=go)
-
-    t_be = timed("bev_encoder (transformer+seg)", bevenc, sbev)
+    t_be = timed(
+        "bev_encoder (transformer+seg)",
+        lambda va, bf: model.apply(
+            va, bf, method=lambda mod, bf: mod.bev_encoder(bf, False)
+        ),
+        sbev,
+    )
 
     sref = stack(bev_refined)
+    t_tx = timed(
+        "TXT branch (pyr..predictor)",
+        lambda va, *a: model.apply(va, *a, method="txt_branch"),
+        sc3, sref,
+    )
 
-    def txt(va, c3, bev_refined):
-        def go(mod, c3, bev_refined):
-            from lss2_multimodal_nu_tpu.nn.layers import global_avg_pool
-
-            pyr = mod.feature_pyramid(c3, False)
-            scene = mod.sceneunder(pyr, False)
-            g = global_avg_pool(scene, keepdims=False).reshape(b, n, -1)
-            cam_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
-            att = mod.camera_transformer(g, cam_ids, False) if mod.camera_transformer else g
-            fused = mod.bev_fusion(att, bev_refined, False) if mod.bev_fusion else att
-            return mod.unified_predictor(fused, False)
-
-        return model.apply(va, c3, bev_refined, method=go)
-
-    t_tx = timed("TXT branch (pyr..predictor)", txt, sc3, sref)
-
-    acc = t_bb + t_dc + t_ls + t_be + t_tx
+    acc = t_bb + t_ls + t_be + t_tx
     print("-" * 64)
     print(f"{'sum of stages':34s} {acc:8.2f} ms   vs full {t_full:.2f} ms")
     print(f"flagship fps @B={batch}: {batch / (t_full / 1e3):.1f}")

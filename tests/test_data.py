@@ -95,6 +95,69 @@ def test_img_transform_affine_consistency():
     assert abs(cx - target[0]) < 2.0 and abs(cy - target[1]) < 2.0
 
 
+def test_fixture_geometric_consistency(tmp_path):
+    """The learnable fixture's three label surfaces agree (VERDICT r2 item 8):
+    (a) the stored local_binmap round-trips through get_binimg's fliplr+rot90
+    to the authored ego-frame raster exactly; (b) ground points projected
+    through the dataset's OWN rots/trans/intrins/post_* land on pixels of
+    their class colour — i.e. BEV labels are recoverable from the images
+    through the same camera model the LSS lift uses."""
+    from lss2_multimodal_nu_tpu.data import synthetic
+    from lss2_multimodal_nu_tpu.data.dataset import denormalize_img
+
+    root = str(tmp_path / "fix")
+    scenes = []
+    generate(root, samples_per_scene=2, scenes_out=scenes)
+    nusc = NuScenesIndex("v1.0-mini", root)
+    ds = NuA2DDataset(
+        nusc, is_train=False, aug=AugConfig(H=90, W=160), grid=GridConfig(),
+        data_root=root,
+    )
+    rec = ds.ixes[0]
+    scene = dict(scenes)[rec["token"]]
+
+    # (a) binmap round-trip: non-vehicle classes of binimg == authored raster
+    binimg = ds.get_binimg(rec)
+    ego = synthetic._scene_raster(scene, 200, 0.5, vehicles=False)
+    assert np.array_equal(np.where(binimg == 1, ego, binimg), ego)
+    assert (binimg == 1).sum() > 0  # annotations rasterized some vehicle px
+
+    # (b) image<->label consistency through the real pipeline (JPEG + noise
+    # + augmentation): project random ground points into every camera and
+    # compare pixel colour to the class colour
+    item = ds[0]
+    imgs, rots, trans = item["imgs"], item["rots"], item["trans"]
+    intr, pr, pt = item["intrins"], item["post_rots"], item["post_trans"]
+    fine = synthetic._scene_raster(scene, 400, 0.25, vehicles=True)
+    rng = np.random.default_rng(1)
+    ang = rng.uniform(0, 2 * np.pi, 4000)
+    r = rng.uniform(5, 40, 4000)
+    g = np.stack([r * np.cos(ang), r * np.sin(ang), np.zeros_like(r)], -1)
+    ix = np.floor((g[:, 0] + 50) / 0.25).astype(int)
+    iy = np.floor((g[:, 1] + 50) / 0.25).astype(int)
+    cls = fine[np.clip(ix, 0, 399), np.clip(iy, 0, 399)]
+    H, W = imgs.shape[1:3]
+    hits = good = 0
+    for c in range(6):
+        pc = (g - trans[c]) @ rots[c]
+        z = pc[:, 2]
+        uv = (intr[c] @ (pc.T / np.maximum(z, 1e-6))).T[:, :2]
+        uvw = np.concatenate([uv, np.ones((len(uv), 1))], 1)
+        uv2 = (pr[c] @ uvw.T).T[:, :2] + pt[c][:2]
+        m = (z > 0.5) & (uv2[:, 0] >= 1) & (uv2[:, 0] < W - 1) \
+            & (uv2[:, 1] >= 1) & (uv2[:, 1] < H - 1)
+        px = imgs[c][np.round(uv2[m, 1]).astype(int),
+                     np.round(uv2[m, 0]).astype(int)]
+        pix = np.asarray(
+            denormalize_img(px.reshape(-1, 1, 3)), dtype=np.float32
+        ).reshape(-1, 3)
+        d = np.linalg.norm(pix - synthetic._COLORS[cls[m]], axis=1)
+        hits += len(d)
+        good += int((d < 60).sum())
+    assert hits > 1500  # every sample is seen by several cameras
+    assert good / hits > 0.85  # boundary pixels may straddle classes
+
+
 def test_index_and_dataset(fixture_root):
     nusc = NuScenesIndex("v1.0-mini", fixture_root)
     ds = NuA2DDataset(

@@ -34,6 +34,28 @@ def _inputs(seed=0):
     return v, locs, attn
 
 
+@pytest.mark.parametrize("hw", [(16, 16), (12, 12), (16, 12)])
+def test_assembly_paths_match_oracle(hw):
+    """Both table-assembly variants against the patch oracle: (16,16)
+    takes select-compose (w%8==0, pw%8==0), (12,12)/(16,12) take the
+    RMW fallback (w%8!=0). Boundary samples included (locs in [0,1] hit
+    the ax=0 / ax=w / y=0 / y=h table edges)."""
+    h, w = hw
+    n = h * w
+    rng = np.random.default_rng(11)
+    v = jnp.asarray(rng.normal(size=(BH, DH, n)).astype(np.float32))
+    locs = jnp.asarray(rng.uniform(0, 1, size=(BH, NPTS, n, 2)).astype(np.float32))
+    # force exact-edge samples into the batch
+    locs = locs.at[:, 0, :4, 0].set(jnp.asarray([0.0, 1.0, 0.0, 1.0]))
+    locs = locs.at[:, 0, :4, 1].set(jnp.asarray([0.0, 0.0, 1.0, 1.0]))
+    attn = jnp.asarray(rng.uniform(0, 1, size=(BH, NPTS, n)).astype(np.float32))
+    out = jax.jit(
+        lambda a, b, c: dp.deformable_sample_combine_pallas(a, b, c, h, w)
+    )(v, locs, attn)
+    ref = deformable_sample_combine_patch(v, locs, attn, h, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_matches_patch_oracle():
     v, locs, attn = _inputs()
     out = jax.jit(
