@@ -201,13 +201,9 @@ def main():
     # Persistent compile cache: the K-scan forward + train-step scan compile
     # for minutes on this few-core host; cache them so repeat bench runs
     # (and the driver's run) start hot.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass  # older jax without the knobs: compile cold
+    from lss2_multimodal_nu_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from lss2_multimodal_nu_tpu.config import Config, ModelConfig
     from lss2_multimodal_nu_tpu.models.factory import build_model

@@ -164,7 +164,12 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                                   worker_type=args.worker_type)
 
     model = build_model(cfg)
-    sample = next(iter(trainloader))
+    sample = next(iter(trainloader), None)
+    if sample is None:
+        raise SystemExit(
+            f"no training batches: {len(trainloader.dataset)} samples with "
+            f"batch_size={cfg.train.batch_size} and drop_last=True"
+        )
     inputs = tuple(
         jnp.asarray(sample[k][:1])
         for k in ("imgs", "rots", "trans", "intrins", "post_rots", "post_trans")
@@ -518,6 +523,12 @@ def main(argv=None):
                     help="error on any missing torch key (default: report only, "
                          "matching the reference's tolerant warm starts)")
     args = parser.parse_args(argv)
+
+    # Before any jax import path compiles: repeat CLI invocations (resumes,
+    # eval re-runs, config sweeps) should reuse compiled executables.
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     if args.cmd == "port":
         return run_port(args)

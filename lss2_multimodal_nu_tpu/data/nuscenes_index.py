@@ -95,6 +95,15 @@ class NuScenesIndex:
             rows = json.load(open(path)) if os.path.isfile(path) else []
             self._tables[name] = rows
             self._by_token[name] = {r["token"]: r for r in rows}
+        if not self._tables["sample"]:
+            # A wrong dataroot/version otherwise surfaces as a silently empty
+            # dataset (zero batches, bare StopIteration deep in training).
+            raise FileNotFoundError(
+                f"no nuScenes tables under {table_root!r} (missing or empty "
+                "sample.json) — expected <dataroot>/<version>/sample.json etc. "
+                "Note the CLI joins --dataroot with the version directory "
+                "(e.g. --dataroot D --version mini reads D/mini/v1.0-mini/)."
+            )
         self._link()
         if verbose:
             for n, rows in self._tables.items():

@@ -19,15 +19,9 @@ def main():
 
     from bench import measure_floor
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass
+    from lss2_multimodal_nu_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
     cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32

@@ -24,15 +24,9 @@ def main():
     from lss2_multimodal_nu_tpu.models.factory import build_model
     from __graft_entry__ import _fake_inputs
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass
+    from lss2_multimodal_nu_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"

@@ -158,6 +158,13 @@ def test_fixture_geometric_consistency(tmp_path):
     assert good / hits > 0.85  # boundary pixels may straddle classes
 
 
+def test_index_missing_tables_raises(tmp_path):
+    """A wrong dataroot/version must fail loudly, not yield zero batches
+    (regression: bare StopIteration deep inside run_training)."""
+    with pytest.raises(FileNotFoundError, match="sample.json"):
+        NuScenesIndex("v1.0-mini", str(tmp_path / "nowhere"))
+
+
 def test_index_and_dataset(fixture_root):
     nusc = NuScenesIndex("v1.0-mini", fixture_root)
     ds = NuA2DDataset(
