@@ -33,13 +33,16 @@ class _Conv1x1Split(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs):
+    def __call__(self, xs, fold_scale=None, fold_shift=None):
         ctot = sum(t.shape[-1] for t in xs)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (1, 1, ctot, self.features), jnp.float32,
         )
-        k2 = kernel[0, 0].astype(self.dtype)
+        k2 = kernel[0, 0]
+        if fold_scale is not None:  # inference BN folded into the weights
+            k2 = k2 * fold_scale
+        k2 = k2.astype(self.dtype)
         dn = (((3,), (0,)), ((), ()))
         off = 0
         acc = None
@@ -57,6 +60,8 @@ class _Conv1x1Split(nn.Module):
                 jnp.float32,
             )
             acc = acc + bias
+        if fold_shift is not None:
+            acc = acc + fold_shift
         return acc.astype(self.dtype)
 
 
@@ -87,22 +92,80 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if isinstance(x, (list, tuple)):
+        is_list = isinstance(x, (list, tuple))
+        padding = self.padding
+        if padding == "torch":
+            ph = self.dilation[0] * (self.kernel[0] - 1) // 2
+            pw = self.dilation[1] * (self.kernel[1] - 1) // 2
+            padding = [(ph, ph), (pw, pw)]
+
+        # Inference: fold BN's affine into the conv weights instead of running
+        # it as a post-pass. The affine is NOT free under XLA at backbone
+        # shapes (measured +0.027 ms/conv at stage1, scripts/bench_backbone.py
+        # "no BN" A/B); folding matches the BN-less conv time while keeping
+        # param trees / checkpoints / the torch porter unchanged (the conv and
+        # bn modules are registered via stub calls, prototype-checked: init
+        # trees identical in both modes). Training keeps the real BatchNorm
+        # (batch stats + running-average updates).
+        fold = self.use_bn and not train
+        if fold:
+            bn = nn.BatchNorm(
+                use_running_average=True,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
+                dtype=self.dtype,
+                name="bn",
+            )
+            _ = bn(jnp.zeros((1, 1, 1, self.features), self.dtype))
+            bv = bn.variables
+            g = bv["params"]["scale"] * jax.lax.rsqrt(
+                bv["batch_stats"]["var"] + self.bn_eps
+            )
+            shift = bv["params"]["bias"] - bv["batch_stats"]["mean"] * g
+
+        if is_list:
             assert (
                 self.kernel == (1, 1)
                 and self.strides == (1, 1)
                 and self.groups == 1
             ), "list input (concat-free form) is only defined for 1x1/s1"
-            x = _Conv1x1Split(
+            split = _Conv1x1Split(
                 self.features, use_bias=self.use_bias, dtype=self.dtype,
                 name="conv",
-            )(list(x))
+            )
+            if fold:
+                x = split(list(x), g, shift.astype(self.dtype))
+            else:
+                x = split(list(x))
+        elif fold:
+            conv = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=padding,
+                kernel_dilation=self.dilation,
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )
+            cin = x.shape[-1]
+            _ = conv(jnp.zeros((1, *self.kernel, cin), self.dtype))
+            cv = conv.variables["params"]
+            wf = (cv["kernel"] * g).astype(self.dtype)
+            if self.use_bias:  # BN after conv+bias: shift absorbs the bias
+                shift = shift + cv["bias"] * g
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                wf,
+                window_strides=self.strides,
+                padding=padding,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
+            x = y + shift.astype(self.dtype)
         else:
-            padding = self.padding
-            if padding == "torch":
-                ph = self.dilation[0] * (self.kernel[0] - 1) // 2
-                pw = self.dilation[1] * (self.kernel[1] - 1) // 2
-                padding = [(ph, ph), (pw, pw)]
             x = nn.Conv(
                 self.features,
                 self.kernel,
@@ -114,7 +177,7 @@ class ConvBN(nn.Module):
                 dtype=self.dtype,
                 name="conv",
             )(x)
-        if self.use_bn:
+        if self.use_bn and not fold:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,

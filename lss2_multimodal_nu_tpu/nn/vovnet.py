@@ -80,12 +80,22 @@ class OSABlock(nn.Module):
                 x, train
             )
             outs.append(x)
-        # concat-free aggregation: ConvBN's list form computes the 1x1 over
-        # the implicit concat as a sum of per-branch matmuls (identical
-        # params; see nn.layers._Conv1x1Split for the v5e A/B)
-        x = ConvBN(self.out_features, (1, 1), dtype=self.dtype, name="concat_conv")(
-            outs, train
-        )
+        # Aggregation 1x1, two algebraically identical forms with the same
+        # param tree (kernel (1,1,sum(C_i),out)) — picked by shape, from the
+        # per-stage v5e A/B in scripts/bench_backbone.py:
+        #   * materialized concat + one matmul wins when every branch is
+        #     128-lane aligned (concat is layout-clean) and the spatial extent
+        #     is large (stage1: 0.50 vs 0.88 ms — the split's f32 partial
+        #     accumulators cost ~1 GB of HBM traffic at 101k rows);
+        #   * the concat-free split-sum wins when branches are NOT lane
+        #     aligned or spatial is small, where the padded concat dominates
+        #     (stage2 0.32 vs 0.50, stage3 0.066 vs 0.17, stage4 0.016 vs 0.059).
+        agg = ConvBN(self.out_features, (1, 1), dtype=self.dtype, name="concat_conv")
+        lane_aligned = all(t.shape[-1] % 128 == 0 for t in outs)
+        if lane_aligned and x.shape[1] * x.shape[2] >= 1024:
+            x = agg(jnp.concatenate(outs, axis=-1), train)
+        else:
+            x = agg(outs, train)
         x = ESEModule(dtype=self.dtype, name="ese")(x)
         if self.residual and identity.shape[-1] == self.out_features:
             x = x + identity

@@ -102,14 +102,21 @@ def save_train_state(path: str, state: TrainState, extra: Optional[Dict] = None)
 
 
 def restore_train_state(path: str, state: TrainState) -> TrainState:
+    # partial_restore: the save-side payload may carry an `extra` metadata
+    # subtree ({"epoch": ..}, cli.py); restoring with a strict item tree would
+    # raise a structure mismatch on it (caught by test_dist.py's sharded
+    # round-trip), so restore only the keys the TrainState actually needs.
     restored = _ckptr().restore(
         os.path.abspath(path),
-        item={
-            "step": np.asarray(jax.device_get(state.step)),
-            "params": _to_host(state.params),
-            "batch_stats": _to_host(state.batch_stats),
-            "opt_state": _to_host(state.opt_state),
-        },
+        args=ocp.args.PyTreeRestore(
+            item={
+                "step": np.asarray(jax.device_get(state.step)),
+                "params": _to_host(state.params),
+                "batch_stats": _to_host(state.batch_stats),
+                "opt_state": _to_host(state.opt_state),
+            },
+            partial_restore=True,
+        ),
     )
     return state.replace(
         step=jax.numpy.asarray(restored["step"]),
