@@ -59,6 +59,10 @@ class _Conv1x1Split(nn.Module):
                 "bias", nn.initializers.zeros_init(), (self.features,),
                 jnp.float32,
             )
+            if fold_scale is not None:
+                # BN(conv(x)+b) = conv_scaled(x) + g*b + shift: the conv bias
+                # must ride through the BN scale like the kernel does
+                bias = bias * fold_scale
             acc = acc + bias
         if fold_shift is not None:
             acc = acc + fold_shift
@@ -109,19 +113,21 @@ class ConvBN(nn.Module):
         # (batch stats + running-average updates).
         fold = self.use_bn and not train
         if fold:
-            bn = nn.BatchNorm(
-                use_running_average=True,
-                momentum=self.bn_momentum,
-                epsilon=self.bn_eps,
-                dtype=self.dtype,
-                name="bn",
-            )
-            _ = bn(jnp.zeros((1, 1, 1, self.features), self.dtype))
-            bv = bn.variables
-            g = bv["params"]["scale"] * jax.lax.rsqrt(
-                bv["batch_stats"]["var"] + self.bn_eps
-            )
-            shift = bv["params"]["bias"] - bv["batch_stats"]["mean"] * g
+            # Register the bn params/stats with a stub call ONLY during init
+            # (same tree as the unfused path); in apply, read them straight
+            # from the variable dict — no wasted compute in eager mode.
+            if self.is_initializing():
+                _ = nn.BatchNorm(
+                    use_running_average=True,
+                    momentum=self.bn_momentum,
+                    epsilon=self.bn_eps,
+                    dtype=self.dtype,
+                    name="bn",
+                )(jnp.zeros((1, 1, 1, self.features), self.dtype))
+            bnp = self.get_variable("params", "bn")
+            bns = self.get_variable("batch_stats", "bn")
+            g = bnp["scale"] * jax.lax.rsqrt(bns["var"] + self.bn_eps)
+            shift = bnp["bias"] - bns["mean"] * g
 
         if is_list:
             assert (
@@ -138,20 +144,20 @@ class ConvBN(nn.Module):
             else:
                 x = split(list(x))
         elif fold:
-            conv = nn.Conv(
-                self.features,
-                self.kernel,
-                strides=self.strides,
-                padding=padding,
-                kernel_dilation=self.dilation,
-                feature_group_count=self.groups,
-                use_bias=self.use_bias,
-                dtype=self.dtype,
-                name="conv",
-            )
-            cin = x.shape[-1]
-            _ = conv(jnp.zeros((1, *self.kernel, cin), self.dtype))
-            cv = conv.variables["params"]
+            if self.is_initializing():
+                cin = x.shape[-1]
+                _ = nn.Conv(
+                    self.features,
+                    self.kernel,
+                    strides=self.strides,
+                    padding=padding,
+                    kernel_dilation=self.dilation,
+                    feature_group_count=self.groups,
+                    use_bias=self.use_bias,
+                    dtype=self.dtype,
+                    name="conv",
+                )(jnp.zeros((1, *self.kernel, cin), self.dtype))
+            cv = self.get_variable("params", "conv")
             wf = (cv["kernel"] * g).astype(self.dtype)
             if self.use_bias:  # BN after conv+bias: shift absorbs the bias
                 shift = shift + cv["bias"] * g

@@ -48,6 +48,14 @@ TIMM_CONFIGS = {
 }
 
 
+# OSA aggregation form switch (see OSABlock): prefer the materialized concat
+# only when spatial extent is at least this many pixels. Tuned on TPU v5e at
+# inference batch shapes (scripts/bench_osa.py, 2026-08 A/B); retune for other
+# chips/resolutions — both forms are algebraically identical, so this is
+# perf-only.
+CONCAT_SPATIAL_MIN = 1024
+
+
 class ESEModule(nn.Module):
     """Effective squeeze-excitation: pool -> 1x1 conv -> hardsigmoid gate."""
 
@@ -92,7 +100,7 @@ class OSABlock(nn.Module):
         #     (stage2 0.32 vs 0.50, stage3 0.066 vs 0.17, stage4 0.016 vs 0.059).
         agg = ConvBN(self.out_features, (1, 1), dtype=self.dtype, name="concat_conv")
         lane_aligned = all(t.shape[-1] % 128 == 0 for t in outs)
-        if lane_aligned and x.shape[1] * x.shape[2] >= 1024:
+        if lane_aligned and x.shape[1] * x.shape[2] >= CONCAT_SPATIAL_MIN:
             x = agg(jnp.concatenate(outs, axis=-1), train)
         else:
             x = agg(outs, train)

@@ -106,18 +106,28 @@ def restore_train_state(path: str, state: TrainState) -> TrainState:
     # subtree ({"epoch": ..}, cli.py); restoring with a strict item tree would
     # raise a structure mismatch on it (caught by test_dist.py's sharded
     # round-trip), so restore only the keys the TrainState actually needs.
-    restored = _ckptr().restore(
-        os.path.abspath(path),
-        args=ocp.args.PyTreeRestore(
-            item={
-                "step": np.asarray(jax.device_get(state.step)),
-                "params": _to_host(state.params),
-                "batch_stats": _to_host(state.batch_stats),
-                "opt_state": _to_host(state.opt_state),
-            },
-            partial_restore=True,
-        ),
-    )
+    item = {
+        "step": np.asarray(jax.device_get(state.step)),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+    }
+    try:
+        restored = _ckptr().restore(
+            os.path.abspath(path),
+            args=ocp.args.PyTreeRestore(item=item, partial_restore=True),
+        )
+    except TypeError:
+        # orbax-checkpoint < 0.11 has no partial_restore kwarg. Fall back to
+        # restoring the full saved tree (incl. any `extra` metadata subtree)
+        # and re-impose the live opt_state tree structure (orbax returns
+        # namedtuples/tuples as plain dicts on an item-less restore).
+        raw = _ckptr().restore(os.path.abspath(path))
+        restored = {k: raw[k] for k in item}
+        restored["opt_state"] = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(restored["opt_state"]),
+        )
     return state.replace(
         step=jax.numpy.asarray(restored["step"]),
         params=restored["params"],

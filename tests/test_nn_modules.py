@@ -126,6 +126,40 @@ def test_embedder_flat_matches_torch_flatten_order():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("as_list", [False, True])
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_convbn_inference_fold_matches_unfused(as_list, use_bias):
+    """Eval-mode BN folding == explicit conv(+bias) -> BN(running stats), for
+    both the array path and the concat-free list path, with and without a
+    conv bias (regression: the list path used to add the bias unscaled —
+    ADVICE r3 medium)."""
+    from lss2_multimodal_nu_tpu.nn.layers import ConvBN
+
+    rng = np.random.default_rng(3)
+    cin, cout = 6, 8
+    x = rng.normal(size=(2, 5, 7, cin)).astype(np.float32)
+    m = ConvBN(cout, (1, 1), act=None, use_bias=use_bias)
+    inp = [jnp.asarray(x[..., :2]), jnp.asarray(x[..., 2:])] if as_list else jnp.asarray(x)
+    vars_ = m.init(jax.random.PRNGKey(0), inp)
+    # non-trivial BN stats/affine so the fold actually has to do work
+    vars_ = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(0.2, 0.7, p.shape).astype(np.float32)), vars_
+    )
+    var = np.abs(rng.normal(1.0, 0.3, (cout,))).astype(np.float32) + 0.1
+    vars_["batch_stats"]["bn"]["var"] = jnp.asarray(var)
+    folded = np.asarray(m.apply(vars_, inp))  # train=False -> folded path
+
+    # manual unfused reference
+    k = np.asarray(vars_["params"]["conv"]["kernel"])[0, 0]  # (cin, cout)
+    y = x @ k
+    if use_bias:
+        y = y + np.asarray(vars_["params"]["conv"]["bias"])
+    bnp, bns = vars_["params"]["bn"], vars_["batch_stats"]["bn"]
+    g = np.asarray(bnp["scale"]) / np.sqrt(np.asarray(bns["var"]) + 1e-5)
+    want = (y - np.asarray(bns["mean"])) * g + np.asarray(bnp["bias"])
+    np.testing.assert_allclose(folded, want, rtol=2e-5, atol=2e-5)
+
+
 def test_conv_padding_matches_torch_stride2():
     """torch Conv2d(7,s2,p3) vs our ConvBN('torch' padding) — alignment check."""
     from lss2_multimodal_nu_tpu.nn.layers import ConvBN
