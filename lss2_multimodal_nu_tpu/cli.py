@@ -49,6 +49,7 @@ def _build_cfg(args, family: str):
         max_grad_norm=args.max_grad_norm, num_epochs=args.nepochs,
         use_schedule=(family in ("vovnet_transformer", "vovnet_pretrain") and args.use_schedule),
         seed=args.seed,
+        watch_gradients=getattr(args, "wandb_watch", False),
     )
     mesh = MeshConfig(dp=args.dp, fsdp=args.fsdp)
     return Config(
@@ -152,7 +153,7 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
     import jax.numpy as jnp
 
     from .models.factory import build_model
-    from .parallel.mesh import make_mesh, shard_batch, shard_state
+    from .parallel.mesh import activate_mesh, make_mesh, shard_batch, shard_state
     from .train import checkpoint as ckpt
     from .train.state import create_train_state
     from .train.steps import make_train_step
@@ -198,6 +199,7 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
     if cfg.mesh.dp * cfg.mesh.fsdp > 1:
         mesh = make_mesh(cfg)
         state = shard_state(mesh, state)
+        activate_mesh(mesh)  # resolves constrain_batch hints in the models
 
     step = make_train_step(cfg, model)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -235,7 +237,18 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                 with open(metrics_jsonl, "a") as f:
                     f.write(json.dumps({"step": counter, "loss": loss}) + "\n")
                 if logger:
-                    logger.log(counter, {"train/loss": loss})
+                    row = {"train/loss": loss}
+                    if args.wandb_watch:
+                        # wandb.watch surface: per-module grad norms as
+                        # scalars + value-sample histograms (wandb only)
+                        for k, v in metrics.items():
+                            if k.startswith("grad_norm/"):
+                                row[f"gradients/{k.split('/', 1)[1]}_norm"] = float(v)
+                            elif k.startswith("grad_sample/") and logger._wandb:
+                                row[f"gradients/{k.split('/', 1)[1]}"] = (
+                                    logger._wandb.Histogram(np.asarray(v))
+                                )
+                    logger.log(counter, row)
         if epoch % max(args.eval_every, 1) == 0:
             info = _evaluate(cfg, model, state.params, state.batch_stats, valloader, mesh=mesh)
             print(info["confmat_str"])
@@ -434,6 +447,10 @@ def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-
     p.add_argument("--wandb", action="store_true",
                    help="log to wandb (reference :491-517 surface)")
     p.add_argument("--wandb_project", default="lss2-multimodal-nu-tpu")
+    p.add_argument("--wandb_watch", action="store_true",
+                   help="per-module gradient norms + histograms each "
+                        "--log_every steps (wandb.watch surface, "
+                        "reference train_vovnet_transformer.py:505-517)")
     p.add_argument("--worker_type", default="process",
                    choices=["thread", "process"],
                    help="sample-decode workers; 'process' matches the "

@@ -110,6 +110,10 @@ class TrainConfig:
     use_schedule: bool = False
     seed: int = 42
     log_every: int = 200
+    # wandb.watch equivalent (reference train_vovnet_transformer.py:505-517):
+    # per-top-module gradient norms + a strided value sample for histograms,
+    # computed in the jitted step (no extra backward pass)
+    watch_gradients: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -110,25 +110,33 @@ def _cam_pose(cam: str):
 
 def _make_scene(rng: np.random.Generator) -> dict:
     """Random ground-plane scene in the ego frame: one road rectangle, 1-2
-    dividers along it, 2-4 vehicles on it. All rects: (cx, cy, half_long,
-    half_lat, yaw) with half_long along the yaw direction."""
+    dividers along it, 5-10 vehicles on it. All rects: (cx, cy, half_long,
+    half_lat, yaw) with half_long along the yaw direction.
+
+    Densities tuned so the sparse classes are actually learnable at fixture
+    training budgets (VERDICT r3 item 3): vehicles cover ~0.8% and dividers
+    ~2% of BEV pixels (vs 0.25%/1% before, where vehicle IoU stayed 0)."""
     theta = float(rng.uniform(0, np.pi))
     half_w = float(rng.uniform(5.0, 10.0))
     road = (float(rng.uniform(-6, 6)), float(rng.uniform(-6, 6)),
             70.0, half_w, theta)
     d = np.array([np.cos(theta), np.sin(theta)])
     n = np.array([-np.sin(theta), np.cos(theta)])
+    offsets = [0.0]
+    if rng.random() < 0.5:  # second divider only sometimes, so the
+        offsets.append(float(rng.choice([-0.5, 0.5])) * half_w)  # desc[4]
+        # label has both positives and negatives
     dividers = []
-    for off in {0.0, float(rng.choice([-0.5, 0.5])) * half_w}:
+    for off in offsets:
         c = np.array(road[:2]) + off * n
-        dividers.append((float(c[0]), float(c[1]), 70.0, 0.35, theta))
+        dividers.append((float(c[0]), float(c[1]), 70.0, 0.6, theta))
     vehicles = []
-    for _ in range(int(rng.integers(2, 5))):
+    for _ in range(int(rng.integers(5, 11))):
         along = float(rng.uniform(5.0, 38.0)) * float(rng.choice([-1.0, 1.0]))
         lat = float(rng.uniform(-0.8, 0.8)) * (half_w - 1.5)
         c = np.array(road[:2]) + along * d + lat * n
         vyaw = theta if rng.random() < 0.5 else theta + np.pi
-        vehicles.append((float(c[0]), float(c[1]), 2.25, 1.0, float(vyaw)))
+        vehicles.append((float(c[0]), float(c[1]), 2.4, 1.1, float(vyaw)))
     return {"road": road, "dividers": dividers, "vehicles": vehicles}
 
 
@@ -191,21 +199,24 @@ def _act_desc(scene: dict):
     vx = np.array([v[0] for v in vehicles])
     vy = np.array([v[1] for v in vehicles])
     dist = np.hypot(vx, vy)
+    # thresholds sit near the medians of the scene distribution so every
+    # column has both positives and negatives (a column that is constant in
+    # the fixture can only ever score F1 0 or 1 — not learnable evidence)
     act = [
         float(abs(np.cos(road[4])) > 0.7),  # road runs mostly fore-aft
-        float(len(vehicles) >= 3),
-        float(bool(np.any((vx > 3.0) & (dist < 30.0)))),  # vehicle ahead
-        float(bool(np.any((vx < -3.0) & (dist < 30.0)))),  # vehicle behind
+        float(len(vehicles) >= 8),
+        float(bool(np.any((vx > 3.0) & (dist < 20.0)))),  # vehicle ahead
+        float(bool(np.any((vx < -3.0) & (dist < 20.0)))),  # vehicle behind
     ]
     desc = [
-        float(bool(np.any((vx > 0) & (vy > 0)))),
-        float(bool(np.any((vx > 0) & (vy <= 0)))),
-        float(bool(np.any((vx <= 0) & (vy > 0)))),
-        float(bool(np.any((vx <= 0) & (vy <= 0)))),
+        float(np.count_nonzero((vx > 0) & (vy > 0)) >= 2),
+        float(np.count_nonzero((vx > 0) & (vy <= 0)) >= 2),
+        float(np.count_nonzero((vx <= 0) & (vy > 0)) >= 2),
+        float(np.count_nonzero((vx <= 0) & (vy <= 0)) >= 2),
         float(len(scene["dividers"]) >= 2),
         float(road[3] > 7.5),  # wide road
         float(bool(np.any(dist < 12.0))),  # close vehicle
-        float(len(vehicles) >= 4),
+        float(len(vehicles) >= 9),
     ]
     return act, desc
 

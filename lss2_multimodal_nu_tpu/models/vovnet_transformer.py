@@ -34,6 +34,7 @@ from ..nn.layers import Dtype, global_avg_pool
 from ..nn.lss_modules import SceneUnder
 from ..nn.vovnet import VoVNetV2
 from ..ops.lift_splat import lift_splat
+from ..parallel.mesh import constrain_batch
 
 
 class VoVNetBEVTransformer(nn.Module):
@@ -117,7 +118,12 @@ class VoVNetBEVTransformer(nn.Module):
         scene = self.sceneunder(pyr, train)
         scene_global = global_avg_pool(scene, keepdims=False)  # (B*N, 256)
         n = self.n_cameras
-        scene_global = scene_global.reshape(-1, n, scene_global.shape[-1])
+        # (B*N, C) -> (B, N, C): XLA's sharding propagation gives up at this
+        # reshape under a mesh (full-replication fallback, VERDICT r3 item 2)
+        # — re-assert the batch sharding explicitly.
+        scene_global = constrain_batch(
+            scene_global.reshape(-1, n, scene_global.shape[-1])
+        )
         b = scene_global.shape[0]
         cam_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
         attended = scene_global

@@ -46,6 +46,26 @@ BASE_STAGES = [
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.99  # torch momentum 0.01
 
+# Canonical training resolution per variant (efficientnet_pytorch
+# utils.efficientnet_params). The torch package computes its SAME padding
+# STATICALLY from this construction-time size (Conv2dStaticSamePadding), NOT
+# from the runtime input — at b4's stage-3 stride-2 conv the tracked size is
+# odd (380 -> 190 -> 95), giving pad (2,2) where dynamic TF-SAME at the
+# reference's (128,352) input would give (1,2). We mirror the static scheme
+# so ported b4 weights reproduce the reference trunk exactly.
+IMAGE_SIZE = {
+    "b0": 224, "b1": 240, "b2": 260, "b3": 300,
+    "b4": 380, "b5": 456, "b6": 528, "b7": 600,
+}
+
+
+def static_same_pad(size: int, kernel: int, stride: int) -> Tuple[Tuple[int, int], int]:
+    """((lo, hi) pad, output size) for one spatial dim of a
+    Conv2dStaticSamePadding layer constructed at `size`."""
+    out = -(-size // stride)
+    total = max((out - 1) * stride + kernel - size, 0)
+    return (total // 2, total - total // 2), out
+
 
 def round_filters(filters: int, width: float, divisor: int = 8) -> int:
     filters *= width
@@ -73,6 +93,9 @@ class MBConv(nn.Module):
     stride: int
     se_ratio: float = 0.25
     drop_rate: float = 0.0
+    # depthwise-conv padding: "SAME" (dynamic TF rule, for standalone use) or
+    # explicit ((lo,hi),(lo,hi)) static pads from the trunk's tracked size
+    pad: Any = "SAME"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -87,7 +110,7 @@ class MBConv(nn.Module):
         # depthwise
         x = ConvBN(
             mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-            padding="SAME", groups=mid, act=swish, bn_eps=BN_EPS, bn_momentum=BN_MOMENTUM,
+            padding=self.pad, groups=mid, act=swish, bn_eps=BN_EPS, bn_momentum=BN_MOMENTUM,
             dtype=self.dtype, name="depthwise",
         )(x, train)
         # squeeze-excitation (ratio of *input* channels)
@@ -124,9 +147,16 @@ class EfficientNetTrunk(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         width, depth = SCALING[self.variant]
         stem_ch = round_filters(32, width)
+        # Track the construction-time spatial size (square image_size) so
+        # every strided conv gets efficientnet_pytorch's STATIC same pad —
+        # see the IMAGE_SIZE comment. Stride-1 convs pad symmetrically
+        # ((k-1)/2 each side), identical to dynamic SAME.
+        size = IMAGE_SIZE[self.variant]
+        stem_pad, size = static_same_pad(size, 3, 2)
         x = ConvBN(
-            stem_ch, (3, 3), strides=(2, 2), padding="SAME", act=swish,
-            bn_eps=BN_EPS, bn_momentum=BN_MOMENTUM, dtype=self.dtype, name="stem",
+            stem_ch, (3, 3), strides=(2, 2), padding=(stem_pad, stem_pad),
+            act=swish, bn_eps=BN_EPS, bn_momentum=BN_MOMENTUM,
+            dtype=self.dtype, name="stem",
         )(x, train)
 
         # flatten per-stage configs into a block list like efficientnet_pytorch
@@ -144,9 +174,10 @@ class EfficientNetTrunk(nn.Module):
         n = len(blocks)
         for idx, (ic, oc, er, k, s) in enumerate(blocks):
             rate = self.drop_connect_rate * idx / n
+            dpad, size = static_same_pad(size, k, s)
             x = MBConv(
-                ic, oc, er, k, s, drop_rate=rate, dtype=self.dtype,
-                name=f"block{idx}",
+                ic, oc, er, k, s, drop_rate=rate, pad=(dpad, dpad),
+                dtype=self.dtype, name=f"block{idx}",
             )(x, train)
             if prev.shape[1] > x.shape[1]:
                 endpoints[f"reduction_{len(endpoints) + 1}"] = prev

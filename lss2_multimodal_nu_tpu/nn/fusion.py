@@ -5,6 +5,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import seg_head_pallas
+from ..parallel.mesh import constrain_batch
 from .layers import ConvBN, Dtype, global_avg_pool
 from .transformer import LightweightBEVTransformer
 
@@ -131,12 +132,13 @@ class LightweightCameraTransformer(nn.Module):
         attn = MultiHeadAttention(
             self.d_model, self.n_heads, self.dropout, dtype=self.dtype, name="self_attn"
         )(x, x, x, train)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+        # batch-sharding hints at the residual adds (see nn/transformer.py)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(constrain_batch(x + attn))
         y = nn.Dense(self.d_model * 2, dtype=self.dtype, name="ffn0")(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="ffn1")(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(constrain_batch(x + y))
 
 
 class BEVCameraFusion(nn.Module):
@@ -149,7 +151,10 @@ class BEVCameraFusion(nn.Module):
 
     @nn.compact
     def __call__(self, camera_feat, bev_feat, train: bool = False):
-        bev_tok = global_avg_pool(bev_feat, keepdims=False)[:, None, :]  # (B,1,C)
+        # (B,1,C); batch hint: the pool's reshape loses the sharding trail
+        bev_tok = constrain_batch(
+            global_avg_pool(bev_feat, keepdims=False)[:, None, :]
+        )
         fused = MultiHeadAttention(
             self.d_model, self.n_heads, 0.1, dtype=self.dtype, name="cross_attn"
         )(camera_feat, bev_tok, bev_tok, train)

@@ -22,6 +22,46 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config
 
 
+# The two mesh axes the batch dimension is sharded over (see module docstring).
+BATCH_AXES = ("dp", "fsdp")
+
+
+def activate_mesh(mesh: Mesh):
+    """Install `mesh` as the ambient mesh (jax.sharding.set_mesh) so that
+    `constrain_batch` hints inside model code resolve its axis names.
+
+    Returns a context manager: use `with activate_mesh(mesh): ...` in tests,
+    or call it once at startup in scripts/CLI (the context need not be
+    exited for a process that uses one mesh for its whole life)."""
+    return jax.sharding.set_mesh(mesh)
+
+
+def constrain_batch(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Hint GSPMD that dim `axis` of `x` is sharded over the batch mesh axes.
+
+    Without these hints XLA's sharding propagation gives up at reshapes that
+    mix the batch dim (e.g. (B*N,C) -> (B,N,C)) and at some residual adds,
+    falling back to "involuntary full rematerialization" — full replication
+    of the activation on every device (observed in MULTICHIP_r03, VERDICT r3
+    item 2). A no-op unless a mesh is active via `activate_mesh` AND the dim
+    divides the mesh extent, so single-chip traces are byte-identical."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:  # pre-0.9 JAX without ambient-mesh API
+        return x
+    if am is None or getattr(am, "empty", True):
+        return x
+    axes = tuple(a for a in BATCH_AXES if a in am.axis_names)
+    if not axes:
+        return x
+    extent = int(np.prod([am.shape[a] for a in axes]))
+    if extent <= 1 or x.shape[axis] % extent != 0:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = axes if len(axes) > 1 else axes[0]
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def make_mesh(cfg: Config, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     dp, fsdp = cfg.mesh.dp, cfg.mesh.fsdp
@@ -40,9 +80,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding(mesh: Mesh, params: Any, min_shard_elems: int = 2**14) -> Any:
+def param_sharding(mesh: Mesh, params: Any, min_shard_elems: int = 2**19) -> Any:
     """ZeRO-style parameter sharding: shard each large tensor's largest
-    axis that divides the fsdp size; small tensors stay replicated."""
+    axis that divides the fsdp size; small tensors stay replicated.
+
+    The floor is deliberately high (0.5M elems = 2 MB f32): a sharded weight
+    axis is contracted by either the forward or the backward matmul, and for
+    small Dense kernels (the transformer/txt-branch 256-wide projections)
+    the SPMD partitioner answers that with "involuntary full
+    rematerialization" of the batch-sharded activations — costing far more
+    than the sub-MB of memory sharding saves (VERDICT r3 item 2). Large
+    backbone conv kernels partition cleanly (XLA all-gathers the weight)."""
     fsdp = mesh.shape["fsdp"]
 
     def rule(p: jnp.ndarray) -> NamedSharding:

@@ -74,6 +74,8 @@ def make_train_step(cfg: Config, model):
         )(state.params)
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = dict(metrics, grad_norm=optax_global_norm(grads))
+        if cfg.train.watch_gradients:
+            metrics.update(grad_watch_summaries(grads))
         return state, metrics
 
     return train_step
@@ -83,6 +85,29 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(
         sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree))
     )
+
+
+def grad_watch_summaries(grads, sample_per_module: int = 2048) -> Dict[str, Any]:
+    """wandb.watch-equivalent gradient observability, computed inside the
+    jitted step (reference train_vovnet_transformer.py:505-517 hooks every
+    parameter's gradient; here the backward pass is already in hand):
+
+      * `grad_norm/<module>`: global norm per top-level module — the scalar
+        chart wandb.watch users actually read;
+      * `grad_sample/<module>`: a fixed-size strided sample of the module's
+        gradient values for host-side histograms (wandb.Histogram). Strided,
+        not random, so it is deterministic and free under jit; 2048 values
+        per module keeps the D2H cost trivial at log cadence.
+    """
+    out: Dict[str, Any] = {}
+    for mod, sub in grads.items():
+        leaves = [x.reshape(-1).astype(jnp.float32)
+                  for x in jax.tree_util.tree_leaves(sub)]
+        flat = jnp.concatenate(leaves) if len(leaves) > 1 else leaves[0]
+        out[f"grad_norm/{mod}"] = jnp.sqrt(jnp.sum(jnp.square(flat)))
+        stride = max(flat.size // sample_per_module, 1)
+        out[f"grad_sample/{mod}"] = flat[:: stride][:sample_per_module]
+    return out
 
 
 def make_eval_step(cfg: Config, model):

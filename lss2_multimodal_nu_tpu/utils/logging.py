@@ -27,9 +27,16 @@ class MetricLogger:
                 print("wandb not installed; continuing without it")
 
     def log(self, step: int, metrics: Dict[str, Any]):
+        # rich values (wandb.Histogram, arrays) go to wandb only; the
+        # jsonl/csv surface stays scalar
+        def scalar(v):
+            return isinstance(v, (int, float, str)) or (
+                hasattr(v, "item") and getattr(v, "ndim", 0) == 0
+            )
+
         row = {"step": step, "time": time.time(), **{
-            k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
-            for k, v in metrics.items()
+            k: (float(v) if not isinstance(v, str) else v)
+            for k, v in metrics.items() if scalar(v)
         }}
         self.jsonl.write(json.dumps(row) + "\n")
         self.jsonl.flush()

@@ -17,9 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    dataroot = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synthroot_r3"
-    logdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/synthrun_r3"
-    nepochs = sys.argv[3] if len(sys.argv) > 3 else "16"
+    dataroot = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synthroot_r4"
+    logdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/synthrun_r4"
+    # 40 epochs: the sparse classes (vehicles ~0.8% of pixels) need the
+    # longer schedule — vehicle IoU is still climbing at epoch 16
+    nepochs = sys.argv[3] if len(sys.argv) > 3 else "40"
 
     from lss2_multimodal_nu_tpu.data.splits import create_splits_scenes
     from lss2_multimodal_nu_tpu.data.synthetic import generate

@@ -30,7 +30,12 @@ def main():
     from bench import measure_floor
     from lss2_multimodal_nu_tpu.config import Config, MeshConfig, ModelConfig, TrainConfig
     from lss2_multimodal_nu_tpu.models.factory import build_model
-    from lss2_multimodal_nu_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+    from lss2_multimodal_nu_tpu.parallel.mesh import (
+        activate_mesh,
+        make_mesh,
+        shard_batch,
+        shard_state,
+    )
     from lss2_multimodal_nu_tpu.train.state import create_train_state
     from lss2_multimodal_nu_tpu.train.steps import make_train_step
 
@@ -62,6 +67,7 @@ def main():
     )
     mesh = make_mesh(cfg)
     print("mesh:", dict(mesh.shape))
+    activate_mesh(mesh)  # resolves constrain_batch hints in the models
     state = shard_state(mesh, state)
     batch_sh = shard_batch(mesh, batch_d)
     step = make_train_step(cfg, model)

@@ -253,3 +253,69 @@ def test_process_pool_loader_matches_thread_loader(fixture_root):
         assert set(ba) == set(bb)
         for k in ba:
             np.testing.assert_array_equal(ba[k], bb[k])
+
+
+class _IndexDS:
+    """Minimal dataset for loader index-plumbing tests."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"i": np.asarray([i])}
+
+
+@pytest.mark.parametrize("host_count", [1, 2, 4])
+def test_multihost_index_sharding(host_count):
+    """Per-host index shards (loader.py _indices) must be disjoint,
+    exhaustive over the shuffled permutation's first per*host_count entries,
+    and drawn from the SAME seeded permutation on every host — the property
+    a multi-host run needs so no sample is read twice or skipped
+    (VERDICT r3 item 8)."""
+    n = 64
+    loaders = [
+        DataLoader(
+            _IndexDS(n), batch_size=4, shuffle=True, num_workers=1, seed=13,
+            host_shard=(h, host_count),
+        )
+        for h in range(host_count)
+    ]
+    shards = [np.asarray(ld._indices()) for ld in loaders]
+    per = n // host_count
+    assert all(len(s) == per for s in shards)
+    union = np.concatenate(shards)
+    # disjoint + exhaustive: together the shards are exactly 0..n-1 once
+    assert len(np.unique(union)) == n
+    # shuffle-stable: every host slices ONE common permutation, so the
+    # concatenation in host order IS that permutation
+    rng = np.random.default_rng(13 + 0)
+    perm = np.arange(n)
+    rng.shuffle(perm)
+    np.testing.assert_array_equal(union, perm)
+    # next epoch re-shuffles consistently across hosts
+    for ld in loaders:
+        list(ld)  # advance epoch
+    shards2 = [np.asarray(ld._indices()) for ld in loaders]
+    assert len(np.unique(np.concatenate(shards2))) == n
+    assert not all(np.array_equal(a, b) for a, b in zip(shards, shards2))
+
+
+def test_multihost_sharding_truncates_remainder():
+    """n not divisible by host_count: every host gets the same count
+    (floor(n/hosts)); the remainder is dropped, never duplicated."""
+    n, hosts = 103, 4
+    shards = [
+        np.asarray(
+            DataLoader(
+                _IndexDS(n), batch_size=4, shuffle=True, num_workers=1,
+                seed=3, host_shard=(h, hosts),
+            )._indices()
+        )
+        for h in range(hosts)
+    ]
+    assert all(len(s) == n // hosts for s in shards)
+    union = np.concatenate(shards)
+    assert len(np.unique(union)) == len(union)  # disjoint, no duplicates

@@ -10,7 +10,9 @@ import pytest
 from lss2_multimodal_nu_tpu.config import Config, MeshConfig, ModelConfig, TrainConfig
 from lss2_multimodal_nu_tpu.models.factory import build_model
 from lss2_multimodal_nu_tpu.parallel.mesh import (
+    activate_mesh,
     batch_sharding,
+    constrain_batch,
     make_mesh,
     param_sharding,
     shard_batch,
@@ -49,6 +51,21 @@ def test_devices_available():
 def test_mesh_construction():
     mesh = make_mesh(_cfg(4, 2))
     assert mesh.shape == {"dp": 4, "fsdp": 2}
+
+
+def test_constrain_batch_hint():
+    """constrain_batch is a no-op without an ambient mesh, and pins the
+    batch dim to (dp, fsdp) when one is active (VERDICT r3 item 2)."""
+    x = jnp.zeros((8, 6, 16))
+    # no mesh: identity (same trace, no constraint op)
+    assert constrain_batch(x) is x
+    mesh = make_mesh(_cfg(4, 2))
+    with activate_mesh(mesh):
+        y = jax.jit(lambda t: constrain_batch(t * 2))(shard_batch(mesh, x))
+        assert "dp" in str(y.sharding.spec) and "fsdp" in str(y.sharding.spec)
+        # non-divisible batch dim: silently skipped, not an error
+        z = jnp.zeros((3, 4))
+        assert constrain_batch(z) is z
 
 
 def test_param_sharding_rules():

@@ -30,13 +30,19 @@ from lss2_multimodal_nu_tpu.port.torch_port import Porter  # noqa: E402
 
 
 class TorchMBConv(torch.nn.Module):
-    """efficientnet_pytorch.model.MBConvBlock semantics, minimal rebuild."""
+    """efficientnet_pytorch.model.MBConvBlock semantics, minimal rebuild.
 
-    def __init__(self, in_ch, out_ch, expand, k, s):
+    `static_pad=(lo, hi)` reproduces Conv2dStaticSamePadding (padding fixed
+    at construction from the tracked image_size); None = dynamic TF-SAME
+    computed from the runtime input (identical for the even sizes these
+    block tests use)."""
+
+    def __init__(self, in_ch, out_ch, expand, k, s, static_pad=None):
         super().__init__()
         self.in_ch, self.out_ch, self.expand, self.k, self.s = (
             in_ch, out_ch, expand, k, s,
         )
+        self.static_pad = static_pad
         mid = in_ch * expand
         bn = lambda c: torch.nn.BatchNorm2d(c, momentum=0.01, eps=1e-3)  # noqa: E731
         if expand != 1:
@@ -66,7 +72,12 @@ class TorchMBConv(torch.nn.Module):
         inp = x
         if self.expand != 1:
             x = swish(self._bn0(self._expand_conv(x)))
-        x = self._depthwise_conv(self._same_pad(x, self.k, self.s))
+        if self.static_pad is not None:
+            lo, hi = self.static_pad
+            x = torch.nn.functional.pad(x, [lo, hi, lo, hi])
+        else:
+            x = self._same_pad(x, self.k, self.s)
+        x = self._depthwise_conv(x)
         x = swish(self._bn1(x))
         s = torch.nn.functional.adaptive_avg_pool2d(x, 1)
         s = self._se_expand(swish(self._se_reduce(s)))

@@ -195,3 +195,45 @@ def test_train_step_lss_tiny():
     ev = make_eval_step(cfg, model)
     res = ev(s2.params, s2.batch_stats, batch, jnp.zeros((4, 4), jnp.int32))
     assert int(res["confmat"].sum()) == 200 * 200
+
+
+def test_grad_watch_summaries():
+    """watch_gradients=True (the wandb.watch surface,
+    train_vovnet_transformer.py:505-517): the step emits per-top-module
+    gradient norms + fixed-size value samples, consistent with grad_norm."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_models import fake_batch
+
+    from lss2_multimodal_nu_tpu.models.factory import build_model
+    from lss2_multimodal_nu_tpu.train.state import create_train_state
+    from lss2_multimodal_nu_tpu.train.steps import make_train_step
+
+    cfg = Config(
+        model=ModelConfig(family="lss", effnet_variant="b0"),
+        train=TrainConfig(batch_size=1, watch_gradients=True),
+    )
+    model = build_model(cfg)
+    inputs = fake_batch(b=1)
+    rng = np.random.default_rng(6)
+    batch = dict(
+        zip(("imgs", "rots", "trans", "intrins", "post_rots", "post_trans"), inputs),
+        binimg=jnp.asarray(rng.integers(0, 4, size=(1, 200, 200))),
+    )
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs)
+    step = make_train_step(cfg, model)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    norms = {k: float(v) for k, v in metrics.items() if k.startswith("grad_norm/")}
+    samples = {k: np.asarray(v) for k, v in metrics.items()
+               if k.startswith("grad_sample/")}
+    assert norms and set(n.split("/")[1] for n in norms) == set(
+        s.split("/")[1] for s in samples
+    )
+    # per-module norms recombine to the global grad norm
+    total = float(metrics["grad_norm"])
+    np.testing.assert_allclose(
+        np.sqrt(sum(v**2 for v in norms.values())), total, rtol=1e-5
+    )
+    for k, s in samples.items():
+        assert s.ndim == 1 and 0 < s.size <= 2048 and np.isfinite(s).all(), k
