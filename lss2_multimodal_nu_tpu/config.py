@@ -114,6 +114,11 @@ class TrainConfig:
     # per-top-module gradient norms + a strided value sample for histograms,
     # computed in the jitted step (no extra backward pass)
     watch_gradients: bool = False
+    # PRNG impl for dropout masks. "rbg" uses the TPU hardware bit generator
+    # (XLA RngBitGenerator) — the flagship's ~120M mask bits/step cost
+    # multiple ms under threefry, pure overhead the torch reference never
+    # pays (cuRAND is hardware-rate). "threefry" keeps JAX's default.
+    dropout_rng_impl: str = "rbg"
 
 
 @dataclasses.dataclass(frozen=True)

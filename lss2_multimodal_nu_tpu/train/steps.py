@@ -63,6 +63,15 @@ def make_train_step(cfg: Config, model):
     @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch: Batch, rng) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(rng, state.step)
+        if cfg.train.dropout_rng_impl == "rbg":
+            # re-key the dropout stream onto the TPU hardware bit generator;
+            # the step-folded threefry key seeds it, so determinism per
+            # (seed, step) is preserved. Parity note: dropout streams never
+            # matched torch anyway (test_reference_train_parity.py:22
+            # disables dropout on both sides).
+            rng = jax.random.key(
+                jax.random.bits(rng, dtype=jnp.uint32), impl="rbg"
+            )
 
         def loss_fn(params):
             out, new_bs = _forward(model, params, state.batch_stats, batch, True, rng)
