@@ -93,7 +93,47 @@ def main():
         best = min(best, time.time() - t0)
     per = best - floor
     print(
-        f"sharded train step (B={batch}, {dtype}, mesh dp=1): "
+        f"sharded train step (B={batch}, {dtype}, mesh dp=1, per-call): "
+        f"{per * 1e3:.1f} ms  ({batch / per:.2f} steps-frames/s)"
+    )
+
+    # Scan-amortized timing with the SAME methodology as the unsharded
+    # bench (bench.bench_train_step) so sharded-vs-unsharded is an
+    # apples-to-apples comparison (per-call timing carries +-3 ms of
+    # tunnel jitter even after floor subtraction).
+    K, M = 3, 3
+    batches = []
+    for s in range(K):
+        ins = _fake_inputs(b=batch, seed=s)
+        bd = dict(
+            zip(("imgs", "rots", "trans", "intrins", "post_rots", "post_trans"), ins),
+            binimg=jnp.asarray(rng.integers(0, 4, size=(batch, 200, 200))),
+            act=jnp.asarray((rng.random((batch, 4)) < 0.4).astype(np.float32)),
+            desc=jnp.asarray((rng.random((batch, 8)) < 0.4).astype(np.float32)),
+        )
+        batches.append(shard_batch(mesh, bd))
+    st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    st = jax.block_until_ready(st)
+
+    @jax.jit
+    def steps_k(state0, st):
+        def one(carry, b):
+            s, _ = carry
+            s2, m = step(s, b, jax.random.PRNGKey(0))
+            return (s2, m["loss"]), ()
+
+        (_, loss), _ = jax.lax.scan(one, (state0, jnp.float32(0)), st)
+        return loss
+
+    float(steps_k(state, st))
+    best = float("inf")
+    for _ in range(M):
+        t0 = time.time()
+        float(steps_k(state, st))
+        best = min(best, time.time() - t0)
+    per = max(best - floor, 1e-9) / K
+    print(
+        f"sharded train step (B={batch}, {dtype}, mesh dp=1, scan-amortized): "
         f"{per * 1e3:.1f} ms  ({batch / per:.2f} steps-frames/s)"
     )
 
