@@ -42,7 +42,10 @@ def measure_floor(jax, jnp):
     return (time.time() - t0) / 8
 
 
-def bench_forward(jax, jnp, model, variables, batch, k=6, m=3, floor=0.0):
+def bench_forward(jax, jnp, model, variables, batch, k=8, m=4, floor=0.0):
+    # k=8/m=4 (r4): longer scan + more repeats shrink the floor-estimate
+    # sensitivity of (best - floor)/k — at k=6 a 2 ms floor error moved the
+    # headline by ~0.5 f/s; at k=8 by ~0.4. Same methodology, less variance.
     from __graft_entry__ import _fake_inputs
 
     sets = [_fake_inputs(b=batch, seed=s) for s in range(k)]

@@ -25,7 +25,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Rows per grid step (multiple of 16 so bf16 blocks tile evenly).
-_QN = 960
+# r4 sweep at flagship shapes (scripts/bench_ffn_sweep.py, v5e): 960 2.80 ms,
+# 2000 2.64, 3200 2.58, 4800 3.31, 8000 5.49 — 3200 balances per-step
+# overhead against VMEM pressure on the pipelined hidden chunks.
+_QN = 3200
 # Flipped by tests to run in the Pallas interpreter on CPU.
 _INTERPRET = False
 # Process-wide off switch (tests / ablation).
