@@ -54,8 +54,10 @@ def _pwp(w: int) -> int:
 # Rows per chunk of the conv loops: multiple of 128 (the head's lane store)
 # and small enough that per-chunk values stay register/VMEM-friendly —
 # whole-array (42016, 128) epilogues explode Mosaic compile time (same
-# lesson as deformable_pallas._transpose_chunks).
-_CH = 2048
+# lesson as deformable_pallas._transpose_chunks). r4 sweep at flagship
+# shapes (v5e): 256 1.93 ms, 512 1.75, 768 1.68, 1024 1.71, 2048 1.85,
+# 4096 1.82, 8192 2.25 — 1024 sits in the flat minimum.
+_CH = 1024
 
 
 def _kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
