@@ -323,7 +323,8 @@ def main():
     run_extra("train_step", 90, do_train)
     run_extra("stage_ms", 90, do_stages)
     run_extra("mfu", 45, do_mfu)
-    run_extra("bevtxt", 75, do_bevtxt)
+    if family == "vovnet_transformer":  # companion record, flagship runs only
+        run_extra("bevtxt", 75, do_bevtxt)
 
     if skipped:
         extras["skipped"] = skipped

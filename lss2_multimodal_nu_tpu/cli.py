@@ -49,7 +49,11 @@ def _build_cfg(args, family: str):
         max_grad_norm=args.max_grad_norm, num_epochs=args.nepochs,
         use_schedule=(family in ("vovnet_transformer", "vovnet_pretrain") and args.use_schedule),
         seed=args.seed,
-        watch_gradients=getattr(args, "wandb_watch", False),
+        # the watch summaries are only ever consumed by the wandb logger, so
+        # don't pay their per-step cost unless --wandb is active too
+        watch_gradients=(
+            getattr(args, "wandb_watch", False) and getattr(args, "wandb", False)
+        ),
     )
     mesh = MeshConfig(dp=args.dp, fsdp=args.fsdp)
     return Config(
@@ -240,14 +244,13 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                     row = {"train/loss": loss}
                     if args.wandb_watch:
                         # wandb.watch surface: per-module grad norms as
-                        # scalars + value-sample histograms (wandb only)
+                        # scalars + raw value samples (MetricLogger renders
+                        # 1-D arrays as wandb histograms)
                         for k, v in metrics.items():
                             if k.startswith("grad_norm/"):
                                 row[f"gradients/{k.split('/', 1)[1]}_norm"] = float(v)
-                            elif k.startswith("grad_sample/") and logger._wandb:
-                                row[f"gradients/{k.split('/', 1)[1]}"] = (
-                                    logger._wandb.Histogram(np.asarray(v))
-                                )
+                            elif k.startswith("grad_sample/"):
+                                row[f"gradients/{k.split('/', 1)[1]}"] = np.asarray(v)
                     logger.log(counter, row)
         if epoch % max(args.eval_every, 1) == 0:
             info = _evaluate(cfg, model, state.params, state.batch_stats, valloader, mesh=mesh)
@@ -448,9 +451,9 @@ def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-
                    help="log to wandb (reference :491-517 surface)")
     p.add_argument("--wandb_project", default="lss2-multimodal-nu-tpu")
     p.add_argument("--wandb_watch", action="store_true",
-                   help="per-module gradient norms + histograms each "
-                        "--log_every steps (wandb.watch surface, "
-                        "reference train_vovnet_transformer.py:505-517)")
+                   help="with --wandb: per-module gradient norms + "
+                        "histograms each --log_every steps (wandb.watch "
+                        "surface, train_vovnet_transformer.py:505-517)")
     p.add_argument("--worker_type", default="process",
                    choices=["thread", "process"],
                    help="sample-decode workers; 'process' matches the "

@@ -65,12 +65,14 @@ def make_train_step(cfg: Config, model):
         rng = jax.random.fold_in(rng, state.step)
         if cfg.train.dropout_rng_impl == "rbg":
             # re-key the dropout stream onto the TPU hardware bit generator;
-            # the step-folded threefry key seeds it, so determinism per
-            # (seed, step) is preserved. Parity note: dropout streams never
-            # matched torch anyway (test_reference_train_parity.py:22
-            # disables dropout on both sides).
-            rng = jax.random.key(
-                jax.random.bits(rng, dtype=jnp.uint32), impl="rbg"
+            # the step-folded threefry key seeds it (full 128-bit key data,
+            # not a single word — a 32-bit seed would birthday-collide
+            # within ~65k steps), so determinism per (seed, step) is
+            # preserved. Parity note: dropout streams never matched torch
+            # anyway (test_reference_train_parity.py:22 disables dropout on
+            # both sides).
+            rng = jax.random.wrap_key_data(
+                jax.random.bits(rng, (4,), jnp.uint32), impl="rbg"
             )
 
         def loss_fn(params):
@@ -105,17 +107,25 @@ def grad_watch_summaries(grads, sample_per_module: int = 2048) -> Dict[str, Any]
         chart wandb.watch users actually read;
       * `grad_sample/<module>`: a fixed-size strided sample of the module's
         gradient values for host-side histograms (wandb.Histogram). Strided,
-        not random, so it is deterministic and free under jit; 2048 values
+        not random, so it is deterministic and free under jit; ~2048 values
         per module keeps the D2H cost trivial at log cadence.
+
+    Everything is computed per-leaf (sum-of-squares for the norm, a small
+    strided slice per leaf for the sample) — never a concatenated copy of
+    the full gradients, which would add hundreds of MB of HBM traffic per
+    step on the flagship backbone.
     """
     out: Dict[str, Any] = {}
     for mod, sub in grads.items():
-        leaves = [x.reshape(-1).astype(jnp.float32)
-                  for x in jax.tree_util.tree_leaves(sub)]
-        flat = jnp.concatenate(leaves) if len(leaves) > 1 else leaves[0]
-        out[f"grad_norm/{mod}"] = jnp.sqrt(jnp.sum(jnp.square(flat)))
-        stride = max(flat.size // sample_per_module, 1)
-        out[f"grad_sample/{mod}"] = flat[:: stride][:sample_per_module]
+        leaves = jax.tree_util.tree_leaves(sub)
+        out[f"grad_norm/{mod}"] = optax_global_norm(leaves)
+        per_leaf = max(sample_per_module // len(leaves), 1)
+        samples = []
+        for x in leaves:
+            flat = x.reshape(-1)
+            stride = max(flat.size // per_leaf, 1)
+            samples.append(flat[::stride][:per_leaf].astype(jnp.float32))
+        out[f"grad_sample/{mod}"] = jnp.concatenate(samples)[:sample_per_module]
     return out
 
 

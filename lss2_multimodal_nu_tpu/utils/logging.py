@@ -27,8 +27,9 @@ class MetricLogger:
                 print("wandb not installed; continuing without it")
 
     def log(self, step: int, metrics: Dict[str, Any]):
-        # rich values (wandb.Histogram, arrays) go to wandb only; the
-        # jsonl/csv surface stays scalar
+        # Value routing: scalars go everywhere; 1-D arrays become wandb
+        # histograms (and are skipped by jsonl/csv). Callers pass raw
+        # arrays — all wandb-specific rendering lives here.
         def scalar(v):
             return isinstance(v, (int, float, str)) or (
                 hasattr(v, "item") and getattr(v, "ndim", 0) == 0
@@ -38,6 +39,17 @@ class MetricLogger:
             k: (float(v) if not isinstance(v, str) else v)
             for k, v in metrics.items() if scalar(v)
         }}
+        if self._wandb:
+            import numpy as _np
+
+            metrics = {
+                k: (
+                    self._wandb.Histogram(_np.asarray(v))
+                    if not scalar(v) and getattr(v, "ndim", 0) == 1
+                    else v
+                )
+                for k, v in metrics.items()
+            }
         self.jsonl.write(json.dumps(row) + "\n")
         self.jsonl.flush()
         if self._csv_fields is None:
