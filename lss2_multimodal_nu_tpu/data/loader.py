@@ -30,11 +30,16 @@ import numpy as np
 _WORKER_DS = None
 
 
-def _worker_init(dataset, seed_base: int):
+def _worker_init(dataset, seed_base: int, counter):
     global _WORKER_DS
     _WORKER_DS = dataset
-    # reference parity: worker_init_fn seeds numpy per worker (data.py:273)
-    np.random.seed(seed_base + (os.getpid() % 1000))
+    # reference parity: worker_init_fn seeds numpy with `13 + worker_id`
+    # (data.py:273-274). The worker ordinal comes from a shared counter — a
+    # PID-derived seed (pre-r5) was non-reproducible across runs.
+    with counter.get_lock():
+        worker_id = counter.value
+        counter.value += 1
+    np.random.seed(seed_base + worker_id)
 
 
 def _worker_get(i: int):
@@ -101,7 +106,7 @@ class DataLoader:
                 max_workers=self.num_workers,
                 mp_context=ctx,
                 initializer=_worker_init,
-                initargs=(self.dataset, self.seed),
+                initargs=(self.dataset, self.seed, ctx.Value("i", 0)),
             )
             submit = lambda i: pool.submit(_worker_get, i)  # noqa: E731
         else:

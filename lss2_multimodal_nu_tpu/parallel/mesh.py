@@ -25,6 +25,9 @@ from ..config import Config
 # The two mesh axes the batch dimension is sharded over (see module docstring).
 BATCH_AXES = ("dp", "fsdp")
 
+# one-time warning latch for non-divisible batch dims (see constrain_batch)
+_WARNED_NONDIVISIBLE = False
+
 
 def activate_mesh(mesh: Mesh):
     """Install `mesh` as the ambient mesh (jax.sharding.set_mesh) so that
@@ -55,7 +58,25 @@ def constrain_batch(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     if not axes:
         return x
     extent = int(np.prod([am.shape[a] for a in axes]))
-    if extent <= 1 or x.shape[axis] % extent != 0:
+    if extent <= 1:
+        return x
+    if x.shape[axis] % extent != 0:
+        # A non-divisible batch silently loses ALL sharding hints and
+        # regresses to the full-replication behavior the hints were added to
+        # fix (ADVICE r4) — warn once so the config gets fixed, don't crash
+        # (odd trailing shapes can be legitimate, e.g. an eval tail batch).
+        global _WARNED_NONDIVISIBLE
+        if not _WARNED_NONDIVISIBLE:
+            _WARNED_NONDIVISIBLE = True
+            import warnings
+
+            warnings.warn(
+                f"constrain_batch: dim {axis} of shape {x.shape} does not "
+                f"divide the dp*fsdp extent {extent}; sharding hints are "
+                f"dropped and activations will be fully replicated. Use a "
+                f"batch size divisible by dp*fsdp.",
+                stacklevel=2,
+            )
         return x
     spec = [None] * x.ndim
     spec[axis] = axes if len(axes) > 1 else axes[0]

@@ -66,11 +66,52 @@ def merge_loose(init: Any, restored: Any, prefix: str = "") -> Any:
     return init
 
 
+def _align_root(init: Any, restored: Any) -> Any:
+    """Re-root `restored` when the checkpoint and the target model nest the
+    same modules at different depths.
+
+    The reference's stage-1 LSS checkpoint holds encoder/camencode/bevencode
+    at the state_dict root, and BEV_TXT declares the same attributes at ITS
+    root (model_BEV_TXT.py:160-174), so `load_state_dict(strict=False)`
+    transfers them (train.py:37-39). Here BevTxt nests those modules under
+    'lss' — without alignment the cross-stack warm start silently merges
+    nothing. If no root key overlaps, look one level down on either side;
+    a UNIQUE overlapping child re-roots the restored tree (ambiguity keeps
+    the trees as-is rather than guessing)."""
+    if not isinstance(init, dict) or not isinstance(restored, dict):
+        return restored
+
+    def overlap(a, b):
+        return len(set(a) & set(b))
+
+    if overlap(init, restored) > 0:
+        return restored
+    # init nests deeper: wrap restored under the one child it matches
+    down = [
+        k for k, v in init.items()
+        if isinstance(v, dict) and overlap(v, restored) > 0
+    ]
+    if len(down) == 1:
+        print(f"[ckpt] warm start: aligning checkpoint root under '{down[0]}'")
+        return {down[0]: restored}
+    # restored nests deeper: lift the one child that matches init
+    up = [
+        k for k, v in restored.items()
+        if isinstance(v, dict) and overlap(init, v) > 0
+    ]
+    if len(up) == 1:
+        print(f"[ckpt] warm start: lifting checkpoint subtree '{up[0]}'")
+        return restored[up[0]]
+    return restored
+
+
 def restore_params_loose(path: str, params: Any, batch_stats: Any):
     tree = load_tree(path)
     return (
-        merge_loose(params, tree.get("params", {})),
-        merge_loose(batch_stats, tree.get("batch_stats", {})),
+        merge_loose(params, _align_root(params, tree.get("params", {}))),
+        merge_loose(
+            batch_stats, _align_root(batch_stats, tree.get("batch_stats", {}))
+        ),
     )
 
 

@@ -32,16 +32,49 @@ def default_cache_dir() -> str:
     )
 
 
+def machine_tag(platform: str) -> str:
+    """Per-machine cache key for non-TPU backends.
+
+    XLA:CPU entries are AOT-compiled against the HOST ISA, and the cache key
+    does not capture CPU features — loading another machine's entries logs
+    "machine features don't match / could SIGILL" (observed in the driver's
+    MULTICHIP_r04 dryrun, which read this builder host's entries). Hash the
+    CPU feature flags into the path so CPU entries never cross machines.
+    TPU entries target the TPU chip, not the host, and stay shared.
+    """
+    import hashlib
+    import platform as plat
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line.strip()
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256((plat.machine() + feats).encode()).hexdigest()[:10]
+    return f"{platform}-{plat.machine()}-{h}"
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at `cache_dir`.
 
-    Must run before the first compilation (safe any time before that; the
-    backend need not be initialized). Returns the directory used, or None
-    if this JAX build lacks the knobs (compiles cold, harmless).
+    Must run before the first compilation (safe any time before that).
+    Returns the directory used, or None if this JAX build lacks the knobs
+    (compiles cold, harmless). Non-TPU backends get a machine-fingerprinted
+    subdirectory (see `machine_tag`).
     """
     import jax
 
     cache_dir = cache_dir or default_cache_dir()
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "unknown"
+    if platform != "tpu":
+        cache_dir = os.path.join(cache_dir, machine_tag(platform))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache even fast compiles: the axon tunnel makes every remote

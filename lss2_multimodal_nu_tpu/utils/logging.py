@@ -42,14 +42,15 @@ class MetricLogger:
         if self._wandb:
             import numpy as _np
 
-            metrics = {
-                k: (
-                    self._wandb.Histogram(_np.asarray(v))
-                    if not scalar(v) and getattr(v, "ndim", 0) == 1
-                    else v
-                )
-                for k, v in metrics.items()
-            }
+            def render(v):
+                # scalars -> plain floats (raw jax device scalars confuse
+                # wandb's type sniffing); 1-D -> histogram; >=2-D flattened
+                # to a histogram too (never passed through raw)
+                if scalar(v):
+                    return v if isinstance(v, str) else float(v)
+                return self._wandb.Histogram(_np.asarray(v).reshape(-1))
+
+            metrics = {k: render(v) for k, v in metrics.items()}
         self.jsonl.write(json.dumps(row) + "\n")
         self.jsonl.flush()
         if self._csv_fields is None:

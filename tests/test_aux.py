@@ -149,3 +149,50 @@ def test_profiler_trace(tmp_path):
     import os
 
     assert any(os.scandir(tmp_path / "trace"))
+
+
+def test_compile_cache_machine_fingerprint(tmp_path, monkeypatch):
+    """Non-TPU cache dirs are keyed by a host fingerprint so one machine
+    never loads another's XLA:CPU AOT entries ("could SIGILL" warnings in
+    the driver's MULTICHIP_r04 dryrun; VERDICT r4 item 7). The tag is
+    stable within a host and embeds the platform name."""
+    from lss2_multimodal_nu_tpu.utils import cache
+
+    tag = cache.machine_tag("cpu")
+    assert tag == cache.machine_tag("cpu")  # stable
+    assert tag.startswith("cpu-")
+    assert tag != cache.machine_tag("unknown")
+
+    used = cache.enable_persistent_cache(str(tmp_path / "jc"))
+    # test env runs JAX_PLATFORMS=cpu -> fingerprinted subdir
+    assert used == str(tmp_path / "jc" / tag)
+
+
+def test_compose_prediction_figure(tmp_path):
+    """Composed predict-time figure (plot_nusc_map/add_ego surface,
+    tools.py:404-451): renders cameras + BEV prediction + ego footprint,
+    with optional map polys and lidar overlays."""
+    from lss2_multimodal_nu_tpu.core.grid import gen_dx_bx
+    from lss2_multimodal_nu_tpu.utils.visualize import (
+        compose_prediction_figure,
+    )
+
+    rng = np.random.default_rng(0)
+    dx, bx, _ = gen_dx_bx((-50, 50, 0.5), (-50, 50, 0.5), (-10, 10, 20))
+    imgs = rng.normal(size=(6, 32, 88, 3)).astype(np.float32)
+    pred = rng.integers(0, 4, size=(200, 200))
+    polys = {
+        "road_segment": [np.array([[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0]])],
+        "lane": [],
+        "road_divider": [np.array([[-5.0, -20.0], [-5.0, 20.0]])],
+        "lane_divider": [np.array([[5.0, -20.0], [5.0, 20.0]])],
+    }
+    lidar = rng.normal(scale=20.0, size=(3, 500)).astype(np.float32)
+    out = str(tmp_path / "fig.png")
+    fig = compose_prediction_figure(
+        imgs, pred, bx, dx, polys=polys, lidar_pts=lidar, out_path=out
+    )
+    assert os.path.getsize(out) > 10_000  # non-trivial PNG rendered
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)

@@ -255,6 +255,57 @@ def test_process_pool_loader_matches_thread_loader(fixture_root):
             np.testing.assert_array_equal(ba[k], bb[k])
 
 
+def test_process_pool_loader_reproducible_across_runs(fixture_root):
+    """Two fresh process-pool loaders with the same seed must yield
+    identical batches. The pre-r5 worker init seeded numpy from os.getpid(),
+    which broke the reference's deterministic `13 + worker_id` semantics
+    (data.py:273-274; VERDICT r4 weak-6)."""
+    def run():
+        nusc = NuScenesIndex("v1.0-mini", fixture_root)
+        ds = NuA2DDataset(
+            nusc, is_train=True,
+            aug=AugConfig(H=90, W=160, rand_flip=True), grid=GridConfig(),
+            data_root=fixture_root, rng=np.random.default_rng(3),
+        )
+        dl = DataLoader(
+            ds, 2, shuffle=True, drop_last=True, num_workers=2, seed=13,
+            worker_type="process",
+        )
+        return list(dl)
+
+    a, b = run(), run()
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_process_worker_init_seeds_by_ordinal():
+    """The pool initializer derives its numpy seed from the shared ordinal
+    counter (13 + worker_id), not the PID."""
+    from lss2_multimodal_nu_tpu.data import loader as loader_mod
+
+    class _Ctr:
+        def __init__(self):
+            self.value = 0
+
+        def get_lock(self):
+            import contextlib
+
+            return contextlib.nullcontext()
+
+    ctr = _Ctr()
+    seen = []
+    for _ in range(3):
+        loader_mod._worker_init(None, 13, ctr)
+        seen.append(np.random.randint(0, 2**31))
+    # re-running with a fresh counter reproduces the same stream per ordinal
+    ctr2 = _Ctr()
+    for i in range(3):
+        loader_mod._worker_init(None, 13, ctr2)
+        assert np.random.randint(0, 2**31) == seen[i]
+
+
 class _IndexDS:
     """Minimal dataset for loader index-plumbing tests."""
 
