@@ -9,9 +9,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in _flags:
+    # On avx512 hosts XLA appends +prefer-no-gather/+prefer-no-scatter
+    # tuning features to CPU AOT entries; the loader's host probe never
+    # reports them, so every persistent-cache hit logs a spurious
+    # "machine features don't match / could SIGILL" error — even for
+    # entries this very machine wrote (measured: /tmp/aot_repro). Capping
+    # at AVX2 keeps the feature sets equal. Tiny-shape CPU tests are
+    # compile-dominated; the runtime delta is noise.
+    _flags = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
