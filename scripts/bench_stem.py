@@ -157,6 +157,32 @@ def main():
     timed("stem1 64->64 s1: xla", lambda t: conv_ref(t, w1, 1), x1, flops=gf1)
     timed("stem1 64->64 s1: wpair", lambda t: wpair_conv(t, w1, 64, 64), x1, flops=gf1)
 
+    def im2col_conv(x, w, cin, cout, stride=1):
+        """3x3 conv as materialized patch rows + ONE fully-MXU-packed matmul
+        (rows, 9*cin) @ (9*cin, cout): 576-deep contraction packs the MXU
+        contraction dim completely (r5 'layout' experiment; the cost is the
+        9x input re-read the concat materializes)."""
+        n, h, ww, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        oh, ow = h // stride, ww // stride
+        cols = [
+            xp[:, dy : dy + h : stride, dx : dx + ww : stride, :]
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        xi = jnp.concatenate(cols, axis=-1)  # (n, oh, ow, 9*cin), tap-major
+        wm = w.reshape(9 * cin, cout)  # HWIO flatten == tap-major channel-minor
+        y = jax.lax.dot_general(
+            xi.reshape(n * oh * ow, 9 * cin), wm.astype(x.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        return y.reshape(n, oh, ow, cout).astype(x.dtype)
+
+    alt = im2col_conv(x1, w1, 64, 64)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - alt.astype(jnp.float32))))
+    print(f"stem1 im2col max|err| = {err:.4f}")
+    timed("stem1 64->64 s1: im2col", lambda t: im2col_conv(t, w1, 64, 64), x1, flops=gf1)
+
     # ---- stem2: 64->128 s2 @64x176 ----
     x2 = mk((imgs, 64, 176, 64))
     w2 = mk((3, 3, 64, 128)) * 0.05
@@ -165,8 +191,12 @@ def main():
     alt = s2d_conv(x2, w2, 64, 128)
     err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - alt.astype(jnp.float32))))
     print(f"stem2 s2d max|err| = {err:.4f}")
+    alt = im2col_conv(x2, w2, 64, 128, stride=2)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - alt.astype(jnp.float32))))
+    print(f"stem2 im2col max|err| = {err:.4f}")
     timed("stem2 64->128 s2: xla", lambda t: conv_ref(t, w2, 2), x2, flops=gf2)
     timed("stem2 64->128 s2: s2d", lambda t: s2d_conv(t, w2, 64, 128), x2, flops=gf2)
+    timed("stem2 64->128 s2: im2col", lambda t: im2col_conv(t, w2, 64, 128, 2), x2, flops=gf2)
 
 
 if __name__ == "__main__":
