@@ -140,30 +140,11 @@ def _evaluate(cfg, model, params, batch_stats, loader, mesh=None, no_bev=False):
     import jax
 
     if jax.process_count() > 1:
-        # Multi-host: each host evaluated only its loader shard; assemble the
-        # global metrics over DCN (the moral equivalent of the reference's
-        # ConfusionMatrix.reduce_from_all_processes, tools.py:567-573). Shard
-        # sizes are equal (the loader hands every host n // host_count
-        # indices), so allgather shapes line up.
-        from jax.experimental import multihost_utils as mhu
-
-        confmat = jnp.sum(jnp.asarray(mhu.process_allgather(confmat)), axis=0)
-        sums = np.asarray(
-            mhu.process_allgather(
-                jnp.asarray([float(total_loss), float(total_n)], jnp.float32)
+        (confmat, total_loss, total_n, acts_p, descs_p, acts_t, descs_t) = (
+            _multihost_eval_reduce(
+                confmat, total_loss, total_n, acts_p, descs_p, acts_t, descs_t
             )
-        ).reshape(-1, 2)
-        total_loss, total_n = float(sums[:, 0].sum()), int(sums[:, 1].sum())
-
-        def _gather_cat(chunks):
-            local = jnp.concatenate(chunks)
-            return np.asarray(mhu.process_allgather(local)).reshape(
-                (-1,) + local.shape[1:]
-            )
-
-        if acts_p:
-            acts_p, descs_p = [_gather_cat(acts_p)], [_gather_cat(descs_p)]
-            acts_t, descs_t = [_gather_cat(acts_t)], [_gather_cat(descs_t)]
+        )
     out = {"loss": float(total_loss) / max(total_n, 1)}
     if not no_bev:
         out["confmat"] = np.asarray(confmat)
@@ -182,6 +163,40 @@ def _evaluate(cfg, model, params, batch_stats, loader, mesh=None, no_bev=False):
             act_mean=act_mean, desc_mean=desc_mean,
         )
     return out
+
+
+def _multihost_eval_reduce(
+    confmat, total_loss, total_n, acts_p, descs_p, acts_t, descs_t,
+    allgather=None,
+):
+    """Assemble global eval metrics across pod hosts over DCN — the compiled
+    analog of ConfusionMatrix.reduce_from_all_processes (tools.py:567-573).
+
+    Each host evaluated only its loader shard; shard sizes are equal (the
+    loader hands every host n // host_count indices), so allgather shapes
+    line up. `allgather` is injectable for tests; defaults to
+    jax.experimental.multihost_utils.process_allgather (leading axis =
+    process)."""
+    import jax.numpy as jnp
+
+    if allgather is None:
+        from jax.experimental import multihost_utils as mhu
+
+        allgather = mhu.process_allgather
+    confmat = jnp.sum(jnp.asarray(allgather(confmat)), axis=0)
+    sums = np.asarray(
+        allgather(jnp.asarray([float(total_loss), float(total_n)], jnp.float32))
+    ).reshape(-1, 2)
+    total_loss, total_n = float(sums[:, 0].sum()), int(sums[:, 1].sum())
+
+    def _gather_cat(chunks):
+        local = jnp.concatenate(chunks)
+        return np.asarray(allgather(local)).reshape((-1,) + local.shape[1:])
+
+    if acts_p:
+        acts_p, descs_p = [_gather_cat(acts_p)], [_gather_cat(descs_p)]
+        acts_t, descs_t = [_gather_cat(acts_t)], [_gather_cat(descs_t)]
+    return confmat, total_loss, total_n, acts_p, descs_p, acts_t, descs_t
 
 
 def run_training(args, family: str, with_txt: bool, split_family: str):
@@ -434,7 +449,11 @@ def run_predict(args, family: str):
         os.makedirs(args.viz_dir, exist_ok=True)
         dx, bx, _ = gen_dx_bx(cfg.grid.xbound, cfg.grid.ybound, cfg.grid.zbound)
         batch = next(iter(testloader))
-        out = model.apply(
+        import jax as jax2
+
+        # jit: an op-by-op forward pays the ~26 ms tunnel floor PER OP
+        fwd = jax2.jit(lambda v, *ins: model.apply(v, *ins))
+        out = fwd(
             {"params": params, "batch_stats": batch_stats},
             *(jnp2.asarray(batch[k]) for k in
               ("imgs", "rots", "trans", "intrins", "post_rots", "post_trans")),

@@ -273,3 +273,60 @@ def test_stage1_to_stage2_warm_start_transfers_lss(tmp_path):
     assert all(
         np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(got, want)
     )
+
+
+def test_multihost_eval_reduce():
+    """Global metric assembly across fake pod hosts: confmat summed,
+    loss/count summed, per-sample act/desc arrays concatenated in process
+    order (cli._multihost_eval_reduce with an injected allgather)."""
+    from lss2_multimodal_nu_tpu.cli import _multihost_eval_reduce
+
+    HOSTS = 2
+
+    def fake_allgather(x):  # leading axis = process, like process_allgather
+        return np.stack([np.asarray(x) + 0 * h for h in range(HOSTS)])
+
+    confmat = jnp.asarray([[3, 1], [0, 2]], jnp.int32)
+    acts_p = [np.ones((2, 4), bool), np.zeros((2, 4), bool)]
+    descs_p = [np.ones((2, 8), bool)] * 2
+    acts_t = [np.ones((2, 4), np.float32)] * 2
+    descs_t = [np.zeros((2, 8), np.float32)] * 2
+    cm, loss, n, ap, dp_, at, dt = _multihost_eval_reduce(
+        confmat, 10.0, 4, acts_p, descs_p, acts_t, descs_t,
+        allgather=fake_allgather,
+    )
+    np.testing.assert_array_equal(np.asarray(cm), HOSTS * np.asarray(confmat))
+    assert (loss, n) == (20.0, 8)
+    assert ap[0].shape == (HOSTS * 4, 4)  # 2 local batches x2 samples, x hosts
+    assert dp_[0].shape == (HOSTS * 4, 8)
+    # process-order concat: first host's 4 rows, then second's
+    np.testing.assert_array_equal(ap[0][:2], np.ones((2, 4), bool))
+
+
+def test_cli_predict_end_to_end(fixture_dataroot, tmp_path):
+    """`cli predict` on the fixture: eval at batch 1 on the test split,
+    test.txt surface written (predict.py:97-99), composed viz figures
+    rendered via --viz_dir."""
+    from lss2_multimodal_nu_tpu.cli import main
+
+    out_file = str(tmp_path / "test.txt")
+    viz_dir = str(tmp_path / "viz")
+    main(
+        [
+            "predict",
+            "--version", "mini",
+            "--dataroot", fixture_dataroot,
+            "--nworkers", "2",
+            "--logdir", str(tmp_path / "log"),
+            "--effnet_variant", "b0",
+            "--H", "90", "--W", "160",
+            "--out_file", out_file,
+            "--viz_dir", viz_dir, "--viz_count", "1",
+        ]
+    )
+    txt = open(out_file).read()
+    assert "mean IoU" in txt
+    report = json.loads(txt.strip().splitlines()[-1])
+    assert "act_f1" in report and len(report["desc_f1"]) == 8
+    assert np.isfinite(report["loss"])
+    assert os.path.isfile(os.path.join(viz_dir, "pred_000.png"))
