@@ -330,3 +330,26 @@ def test_cli_predict_end_to_end(fixture_dataroot, tmp_path):
     assert "act_f1" in report and len(report["desc_f1"]) == 8
     assert np.isfinite(report["loss"])
     assert os.path.isfile(os.path.join(viz_dir, "pred_000.png"))
+
+
+def test_cli_predict_iou_end_to_end(fixture_dataroot, tmp_path):
+    """`cli predict-iou`: BEV-only checkpoint eval on the pretrain val
+    split, appending the b1_20.txt surface (reference predict.py:11-51)."""
+    from lss2_multimodal_nu_tpu.cli import main
+
+    out_file = str(tmp_path / "b1_20.txt")
+    main(
+        [
+            "predict-iou",
+            "--version", "mini",
+            "--dataroot", fixture_dataroot,
+            "--nworkers", "2",
+            "--logdir", str(tmp_path / "log"),
+            "--effnet_variant", "b0",
+            "--H", "90", "--W", "160",
+            "--out_file", out_file,
+        ]
+    )
+    txt = open(out_file).read()
+    assert txt.startswith("checkpoint:")
+    assert "mean IoU" in txt and "val_loss:" in txt
