@@ -48,6 +48,7 @@ def _build_cfg(args, family: str):
         batch_size=args.bsize, lr=args.lr, weight_decay=args.wdecay,
         max_grad_norm=args.max_grad_norm, num_epochs=args.nepochs,
         use_schedule=(family in ("vovnet_transformer", "vovnet_pretrain") and args.use_schedule),
+        warmup_epochs=getattr(args, "warmup_epochs", 5),
         seed=args.seed,
         # the watch summaries are only ever consumed by the wandb logger, so
         # don't pay their per-step cost unless --wandb is active too
@@ -56,9 +57,12 @@ def _build_cfg(args, family: str):
         ),
     )
     mesh = MeshConfig(dp=args.dp, fsdp=args.fsdp)
+    # train-v2's --save_suffix appends to the save dir
+    # (train_vovnet_transformer.py:396-398)
+    logdir = args.logdir + getattr(args, "save_suffix", "")
     return Config(
         grid=grid, aug=aug, model=model, train=train, mesh=mesh,
-        dataroot=args.dataroot, version=args.version, logdir=args.logdir,
+        dataroot=args.dataroot, version=args.version, logdir=logdir,
     )
 
 
@@ -199,6 +203,30 @@ def _multihost_eval_reduce(
     return confmat, total_loss, total_n, acts_p, descs_p, acts_t, descs_t
 
 
+def _maybe_stage1_warmstart(args, family: str, state):
+    """train-v2's DEFAULT component warm start from the stage-1 best
+    checkpoint (train_vovnet_transformer.py:428-449): backbone/cam_encode/
+    bev_encoder transfer; a v1-vs-v2 depth_net mismatch is tolerated
+    (merge_loose skips mismatched leaves where the reference skips the whole
+    depth_net). Explicit --checkpoint/--resume or --no_pretrained disable it;
+    a missing file falls back to fresh init with a warning, like the
+    reference."""
+    from .train import checkpoint as ckpt
+
+    if (family != "vovnet_transformer" or args.checkpoint or args.resume
+            or getattr(args, "no_pretrained", False)):
+        return state
+    pp = getattr(args, "pretrained_path", "")
+    if pp and os.path.exists(pp):
+        print(f"Loading pre-trained weights from: {pp}")
+        p_, bs_ = ckpt.restore_params_loose(pp, state.params, state.batch_stats)
+        return state.replace(params=p_, batch_stats=bs_)
+    if pp:
+        print(f"Pre-trained weights not found at {pp}")
+        print("  Training from random/ImageNet init only")
+    return state
+
+
 def run_training(args, family: str, with_txt: bool, split_family: str):
     import jax
     import jax.numpy as jnp
@@ -251,6 +279,7 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                 print("warm-starting params from", pl)
                 p_, bs_ = ckpt.restore_params_loose(pl, state.params, state.batch_stats)
                 state = state.replace(params=p_, batch_stats=bs_)
+    state = _maybe_stage1_warmstart(args, family, state)
 
     mesh = None
     if cfg.mesh.dp * cfg.mesh.fsdp > 1:
@@ -275,13 +304,20 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
             cfg.logdir, run_name=args.wandb_project, use_wandb=True,
             wandb_config={"family": family, **dataclasses.asdict(cfg.train),
                           **dataclasses.asdict(cfg.model)},
+            wandb_name=getattr(args, "run_name", "") or None,
         )
     # stack-B cadence: validate every --eval_every epochs, keep the best-mIoU
     # checkpoint, periodic full checkpoints every --ckpt_every
     # (train_vovnet_transformer.py:550,573-605)
     best_miou, best_epoch = -1.0, -1
+    # stack B counts epochs from 1 for its every-5-validate / every-10-save
+    # cadences (train_vovnet_transformer.py:539, pre_train_vovnet.py:430);
+    # stack A validates+saves every epoch so 0-based numbering is only a
+    # checkpoint-name convention (model{0..}.pt, train.py:93)
+    stack_b = family in ("vovnet_pretrain", "vovnet_transformer")
     for epoch in range(cfg.train.num_epochs):
-        print(f"--------------Epoch: {epoch}--------------")
+        ep = epoch + 1 if stack_b else epoch
+        print(f"--------------Epoch: {ep}--------------")
         t_ep = time.time()
         for batch in trainloader:
             if mesh is not None:
@@ -305,21 +341,32 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                             elif k.startswith("grad_sample/"):
                                 row[f"gradients/{k.split('/', 1)[1]}"] = np.asarray(v)
                     logger.log(counter, row)
-        if epoch % max(args.eval_every, 1) == 0:
+        if ep % max(args.eval_every, 1) == 0:
             info = _evaluate(cfg, model, state.params, state.batch_stats, valloader, mesh=mesh)
             print(info["confmat_str"])
             with open(results_txt, "a") as f:
-                f.write(f"epoch{epoch}" + info["confmat_str"] + "\n")
                 if "act_overall" in info:
-                    f.write(
-                        "F1_info: F1_Action: {act_f1}\nF1_Description: {desc_f1}\n"
-                        "Action_overall: {act_overall}\nDescription_overall: {desc_overall}\n"
-                        "Action_mean: {act_mean}\nDescription_mean: {desc_mean}\n".format(**info)
+                    # train.py:77-90: epoch line + confmat + indented AD block
+                    ad_info = """
+                F1_Action: {0}
+                F1_Description: {1}
+                Action_overall: {2}
+                Description_overall: {3}
+                Action_mean: {4}
+                Description_mean: {5}
+                """.format(
+                        info["act_f1"], info["desc_f1"], info["act_overall"],
+                        info["desc_overall"], info["act_mean"], info["desc_mean"],
                     )
-                f.write("\n")
+                    f.write(f"epoch{ep}" + info["confmat_str"] + "\n"
+                            + "F1_info: " + ad_info + "\n\n")
+                else:
+                    # pre_train.py:78-80: epoch line + confmat + val_loss
+                    f.write(f"epoch{ep}" + info["confmat_str"] + "\n"
+                            + "val_loss: " + str(info["loss"]) + "\n\n")
             if logger:
                 logger.log(counter, {
-                    "epoch": epoch, "val/loss": info["loss"],
+                    "epoch": ep, "val/loss": info["loss"],
                     "val/bev_miou": float(info.get("mean_iou", float("nan"))),
                     **({"val/action_f1": info["act_mean"],
                         "val/desc_f1": info["desc_mean"]}
@@ -327,38 +374,64 @@ def run_training(args, family: str, with_txt: bool, split_family: str):
                 })
             miou = float(info.get("mean_iou", float("nan")))
             if args.save_best and miou == miou and miou > best_miou:
-                best_miou, best_epoch = miou, epoch
-                bname = os.path.join(cfg.logdir, f"best_model_{args.version_flags}")
-                ckpt.save_train_state(
-                    bname, state, {"epoch": epoch, "best_miou": best_miou}
-                )
+                best_miou, best_epoch = miou, ep
+                if family == "vovnet_pretrain":
+                    # best COMPONENT checkpoint for the stage-2 warm start
+                    # (pre_train_vovnet.py:465-477 'best_pretrained.pth')
+                    from .models.vovnet_pretrain import PRETRAIN_COMPONENTS
+
+                    bname = os.path.join(cfg.logdir, "best_pretrained")
+                    ckpt.save_components(
+                        bname, state.params, state.batch_stats,
+                        PRETRAIN_COMPONENTS,
+                        extra={"epoch": ep, "miou": best_miou,
+                               "lss_version": cfg.model.lss_version},
+                    )
+                else:
+                    # best FULL state (train_vovnet_transformer.py:573-594)
+                    bname = os.path.join(
+                        cfg.logdir, f"best_model_{args.version_flags}"
+                    )
+                    ckpt.save_train_state(
+                        bname, state, {"epoch": ep, "best_miou": best_miou}
+                    )
                 print(f"saved best model: {bname} (mIoU: {best_miou:.4f})")
-        mname = os.path.join(cfg.logdir, f"model{epoch}")
-        print("saving", mname)
-        ckpt.save_params(mname, state.params, state.batch_stats)
-        # full resumable state (scheme 3), overwritten each epoch
+        if not stack_b:
+            # stack A: bare params every epoch, model{epoch}.pt analog
+            # (train.py:93-95, pre_train.py:84-86)
+            mname = os.path.join(cfg.logdir, f"model{ep}")
+            print("saving", mname)
+            ckpt.save_params(mname, state.params, state.batch_stats)
+        # full resumable state (scheme 3), overwritten each epoch (ours —
+        # the reference has no mid-epoch-safe resume path)
         ckpt.save_train_state(
-            os.path.join(cfg.logdir, "state_latest"), state, {"epoch": epoch}
+            os.path.join(cfg.logdir, "state_latest"), state, {"epoch": ep}
         )
-        if args.ckpt_every and epoch % args.ckpt_every == 0:
-            ckpt.save_train_state(
-                os.path.join(
-                    cfg.logdir, f"checkpoint_{args.version_flags}_epoch_{epoch}"
-                ),
-                state,
-                {"epoch": epoch},
-            )
+        if args.ckpt_every and ep % args.ckpt_every == 0:
+            if family == "vovnet_pretrain":
+                # periodic component checkpoint
+                # (pre_train_vovnet.py:489-497 'pretrained_epoch_{N}.pth')
+                from .models.vovnet_pretrain import PRETRAIN_COMPONENTS
+
+                ckpt.save_components(
+                    os.path.join(cfg.logdir, f"pretrained_epoch_{ep}"),
+                    state.params, state.batch_stats, PRETRAIN_COMPONENTS,
+                    extra={"epoch": ep,
+                           "lss_version": cfg.model.lss_version},
+                )
+            else:
+                # periodic full checkpoint
+                # (train_vovnet_transformer.py:597-605)
+                ckpt.save_train_state(
+                    os.path.join(
+                        cfg.logdir, f"checkpoint_{args.version_flags}_epoch_{ep}"
+                    ),
+                    state,
+                    {"epoch": ep},
+                )
         if preempt.should_stop():
             print("preemption signal received — saved, exiting cleanly")
             return state
-        if family == "vovnet_pretrain":
-            # component-wise transfer checkpoint (pre_train_vovnet.py:465-477)
-            from .models.vovnet_pretrain import PRETRAIN_COMPONENTS
-
-            ckpt.save_components(
-                os.path.join(cfg.logdir, f"components{epoch}"),
-                state.params, state.batch_stats, PRETRAIN_COMPONENTS,
-            )
         print(f"epoch time: {time.time() - t_ep:.1f}s")
     if args.save_best and best_epoch >= 0:
         print(f"Best mIoU: {best_miou:.4f} at epoch {best_epoch}")
@@ -460,12 +533,15 @@ def run_predict(args, family: str):
         )
         bev = out[0] if isinstance(out, tuple) else out
         preds = np.asarray(jnp2.argmax(bev, axis=-1))
+        import matplotlib.pyplot as plt
+
         for i in range(min(len(preds), args.viz_count)):
-            compose_prediction_figure(
+            fig = compose_prediction_figure(
                 np.asarray(batch["imgs"][i]), preds[i], np.asarray(bx),
                 np.asarray(dx),
                 out_path=os.path.join(args.viz_dir, f"pred_{i:03d}.png"),
             )
+            plt.close(fig)
         print(f"wrote {min(len(preds), args.viz_count)} figures to {args.viz_dir}")
     info = _evaluate(cfg, model, params, batch_stats, testloader, no_bev=args.no_bev)
     if "confmat_str" in info:
@@ -476,8 +552,23 @@ def run_predict(args, family: str):
         if k not in ("confmat", "confmat_str")
     }
     print(report)
-    with open(args.out_file, "a") as f:  # predict.py:97-99 surface
-        f.write(info.get("confmat_str", "") + "\n" + json.dumps(report) + "\n\n")
+    # predict.py:88-99 surface: checkpoint line, confmat repr, then the
+    # indented AD_info block (field order and layout per predict.py:87-95)
+    ad_info = """
+                    F1_Action: {0}
+                    F1_Description: {1}
+                    Action_overall: {2}
+                    Description_overall: {3}
+                    Action_mean: {4}
+                    Description_mean: {5}
+                    """.format(
+        info.get("act_f1"), info.get("desc_f1"), info.get("act_overall"),
+        info.get("desc_overall"), info.get("act_mean"), info.get("desc_mean"),
+    )
+    print(ad_info)
+    with open(args.out_file, "a") as f:
+        f.write(args.checkpoint + "\n" + info.get("confmat_str", "") + "\n"
+                + "F1_info: " + ad_info + "\n\n")
     return info
 
 
@@ -534,13 +625,20 @@ def jax_tree_leaves(tree):
 def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-8,
                bsize: int = 6, max_grad_norm: float = 5.0, nepochs: int = 50,
                eval_every: int = 1, ckpt_every: int = 0, save_best: bool = False,
-               rand_flip: bool = False):
+               rand_flip: bool = False, logdir: str = "./result-log/",
+               results_file: str = "result.txt", nworkers: int = 10):
     p.add_argument("--version", default="trainval", choices=["trainval", "mini"])
     p.add_argument("--dataroot", default="/data/nu-A2D")
     p.add_argument("--nepochs", default=nepochs, type=int)
-    p.add_argument("--logdir", default="./result-log/")
+    # per-script defaults: ./pretrain_result/ (pre_train.py:98),
+    # ./result-log/ (train.py:107), ./pretrain_vovnet (pre_train_vovnet.py:319),
+    # ./checkpoints_vovnet_transformer (train_vovnet_transformer.py:45),
+    # ./test-result/ (predict.py:110)
+    p.add_argument("--logdir", default=logdir)
     p.add_argument("--bsize", default=bsize, type=int)
-    p.add_argument("--nworkers", default=10, type=int)
+    # 10 for stack A (train.py:109), 4 for stack B
+    # (pre_train_vovnet.py:312, train_vovnet_transformer.py:43)
+    p.add_argument("--nworkers", default=nworkers, type=int)
     p.add_argument("--wandb", action="store_true",
                    help="log to wandb (reference :491-517 surface)")
     p.add_argument("--wandb_project", default="lss2-multimodal-nu-tpu")
@@ -560,7 +658,8 @@ def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-
     p.add_argument("--seg_classes", default=4, type=int)
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--log_every", default=200, type=int)
-    p.add_argument("--results_file", default="result.txt")
+    # result.txt (train.py:88) / pretrain-result.txt (pre_train.py:79)
+    p.add_argument("--results_file", default=results_file)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--nondeterministic_aug", action="store_true",
                    help="reference-compat OS-entropy augmentation (train.py:47)")
@@ -585,7 +684,9 @@ def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-
     p.add_argument("--effnet_variant", default="b4")
     p.add_argument("--vovnet_type", default="vovnet39",
                    choices=["vovnet39", "vovnet57", "vovnet99"])
-    p.add_argument("--lss_version", default="v2", choices=["v1", "v2"])
+    # both stack-B scripts default v1 (pre_train_vovnet.py:301,
+    # train_vovnet_transformer.py:40); ignored by stack A
+    p.add_argument("--lss_version", default="v1", choices=["v1", "v2"])
     p.add_argument("--version_flags", default="V3", choices=["V1", "V2", "V3"])
     # stack-B default (warmup+cosine, train_vovnet_transformer.py:54-63);
     # ignored by stack-A families in _build_cfg. BooleanOptionalAction so
@@ -593,6 +694,9 @@ def add_common(p: argparse.ArgumentParser, lr: float = 1e-4, wdecay: float = 1e-
     # made it unswitchable).
     p.add_argument("--use_schedule", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--warmup_epochs", default=5, type=int,
+                   help="schedule warmup (pre_train_vovnet.py:311, "
+                        "train_vovnet_transformer.py:394)")
     p.add_argument("--eval_every", default=eval_every, type=int,
                    help="validate every N epochs (stack B reference: 5)")
     p.add_argument("--ckpt_every", default=ckpt_every, type=int,
@@ -610,22 +714,45 @@ def main(argv=None):
     # per-script defaults (pre_train.py:101-102, pre_train_vovnet.py:306-308,
     # train_vovnet_transformer.py:392-393, train.py:108-111)
     DEFAULTS = {
-        "pretrain": dict(lr=1e-3, wdecay=1e-7, rand_flip=True),
+        # pre_train.py: lr/wd :101-102, nepochs 10000 :96 (run-until-killed,
+        # preserved), logdir :98, pretrain-result.txt :79
+        "pretrain": dict(lr=1e-3, wdecay=1e-7, rand_flip=True, nepochs=10000,
+                         logdir="./pretrain_result/",
+                         results_file="pretrain-result.txt"),
+        # pre_train_vovnet.py:306-319: bs12/60ep, 4 workers, validate every
+        # 5 epochs w/ best component ckpt, periodic every 10
         "pretrain-v2": dict(lr=1e-4, wdecay=1e-8, bsize=12, nepochs=60,
-                            rand_flip=True),
+                            rand_flip=True, nworkers=4,
+                            logdir="./pretrain_vovnet",
+                            eval_every=5, ckpt_every=10, save_best=True),
         "train-v2": dict(lr=1e-4, wdecay=1e-8, bsize=8, max_grad_norm=10.0, nepochs=60,
                          eval_every=5, ckpt_every=10, save_best=True,
-                         rand_flip=True),
+                         rand_flip=True, nworkers=4,
+                         logdir="./checkpoints_vovnet_transformer"),
         # reference predict.py:111 evaluates at batch 1 (nothing dropped by
         # drop_last -> exact split coverage); rand_flip=True per predict.py:129
-        # (inert on the deterministic eval aug path, preserved for parity)
-        "predict": dict(bsize=1, rand_flip=True),
-        "predict-iou": dict(bsize=1, rand_flip=True),
+        # (inert on the deterministic eval aug path, preserved for parity);
+        # lr/wd/nepochs are predict.py:108-114's (inert) defaults
+        "predict": dict(bsize=1, rand_flip=True, lr=1e-3, wdecay=1e-7,
+                        nepochs=10000, logdir="./test-result/"),
+        "predict-iou": dict(bsize=1, rand_flip=True, lr=1e-3, wdecay=1e-7,
+                            nepochs=10000, logdir="./test-result/"),
     }
     for name in ("pretrain", "train", "train-onlybev", "pretrain-v2", "train-v2",
                  "predict", "predict-iou"):
         p = sub.add_parser(name)
         add_common(p, **DEFAULTS.get(name, {}))
+        if name == "train-v2":
+            # train_vovnet_transformer.py:46-51: component warm start from
+            # the stage-1 best checkpoint by default, plus run/save suffixes
+            p.add_argument("--pretrained_path",
+                           default="./pretrain_vovnet/best_pretrained.pth")
+            p.add_argument("--no_pretrained", action="store_true",
+                           help="disable the default stage-1 warm start")
+            p.add_argument("--run_name", default="",
+                           help="wandb run name (reference --run_name)")
+            p.add_argument("--save_suffix", default="",
+                           help="appended to --logdir (reference :396-398)")
         if name == "predict":
             p.add_argument("--out_file", default="./test.txt")
             p.add_argument("--no_bev", action="store_true",

@@ -116,9 +116,11 @@ def restore_params_loose(path: str, params: Any, batch_stats: Any):
 
 
 def save_components(
-    path: str, params: Any, batch_stats: Any, components: Sequence[str]
+    path: str, params: Any, batch_stats: Any, components: Sequence[str],
+    extra: Optional[Dict] = None,
 ) -> None:
-    """Scheme 2: save named top-level module subtrees only."""
+    """Scheme 2: save named top-level module subtrees only (+ optional
+    metadata, e.g. epoch/miou/lss_version as in pre_train_vovnet.py:465-477)."""
     payload = {
         "params": {k: _to_host(params[k]) for k in components if k in params},
         "batch_stats": {
@@ -126,6 +128,8 @@ def save_components(
         },
         "components": list(components),
     }
+    if extra:
+        payload["extra"] = extra
     _ckptr().save(os.path.abspath(path), payload, force=True)
 
 

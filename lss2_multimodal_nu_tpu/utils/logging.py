@@ -11,7 +11,8 @@ from typing import Any, Dict, Optional
 
 class MetricLogger:
     def __init__(self, logdir: str, run_name: str = "run", use_wandb: bool = False,
-                 wandb_config: Optional[Dict] = None):
+                 wandb_config: Optional[Dict] = None,
+                 wandb_name: Optional[str] = None):
         os.makedirs(logdir, exist_ok=True)
         self.jsonl = open(os.path.join(logdir, f"{run_name}.jsonl"), "a")
         self.csv_path = os.path.join(logdir, f"{run_name}.csv")
@@ -22,7 +23,10 @@ class MetricLogger:
                 import wandb
 
                 self._wandb = wandb
-                wandb.init(project=run_name, config=wandb_config or {})
+                # wandb_name <- train-v2's --run_name
+                # (train_vovnet_transformer.py:47,491-494)
+                wandb.init(project=run_name, config=wandb_config or {},
+                           **({"name": wandb_name} if wandb_name else {}))
             except ImportError:
                 print("wandb not installed; continuing without it")
 

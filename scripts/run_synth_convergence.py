@@ -41,6 +41,9 @@ def main():
 
     cmd = [
         sys.executable, "-m", "lss2_multimodal_nu_tpu.cli", "train-v2",
+        # pin the flagship config (the CLI defaults follow the reference:
+        # lss_version v1 + a stage-1 warm-start lookup we don't want here)
+        "--lss_version", "v2", "--version_flags", "V3", "--no_pretrained",
         "--version", "mini", "--dataroot", dataroot,
         "--nepochs", nepochs, "--bsize", "2", "--dtype", "bfloat16",
         "--logdir", logdir, "--nworkers", "2",

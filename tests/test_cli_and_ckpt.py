@@ -38,8 +38,9 @@ def test_cli_pretrain_one_epoch(fixture_dataroot, tmp_path):
         ]
     )
     assert os.path.isdir(os.path.join(logdir, "model0"))
-    assert os.path.isfile(os.path.join(logdir, "result.txt"))
-    txt = open(os.path.join(logdir, "result.txt")).read()
+    # pre_train.py:79 logs to pretrain-result.txt (not train.py's result.txt)
+    assert os.path.isfile(os.path.join(logdir, "pretrain-result.txt"))
+    txt = open(os.path.join(logdir, "pretrain-result.txt")).read()
     assert "mean IoU" in txt
     lines = open(os.path.join(logdir, "metrics.jsonl")).read().strip().splitlines()
     assert len(lines) == 2  # 4 mini_train samples, bs 2 -> 2 steps
@@ -100,18 +101,38 @@ def _parse_cli(cmd, extra=()):
 
 def test_cli_defaults_match_reference_scripts():
     """Lock in per-script defaults (pre_train.py:96-102,
-    pre_train_vovnet.py:306-310, train_vovnet_transformer.py:41-42,392-393,
-    train.py:108-111, predict.py bsize=1)."""
+    pre_train_vovnet.py:295-319, train_vovnet_transformer.py:37-51,
+    train.py:99-131, predict.py:102-134) — including output paths, worker
+    counts, lss_version, and the stack-B validate/save cadences that
+    silently diverged until round 5."""
     a = _parse_cli("pretrain")
-    assert (a.lr, a.wdecay) == (1e-3, 1e-7)
+    assert (a.lr, a.wdecay, a.nepochs, a.nworkers) == (1e-3, 1e-7, 10000, 10)
+    assert a.logdir == "./pretrain_result/"
+    assert a.results_file == "pretrain-result.txt"
     a = _parse_cli("train")
     assert (a.lr, a.wdecay, a.bsize, a.max_grad_norm) == (1e-4, 1e-8, 6, 5.0)
+    assert (a.nepochs, a.nworkers, a.logdir) == (50, 10, "./result-log/")
+    assert a.results_file == "result.txt"
     a = _parse_cli("pretrain-v2")
     assert (a.lr, a.wdecay, a.bsize, a.nepochs) == (1e-4, 1e-8, 12, 60)
+    assert (a.nworkers, a.lss_version, a.warmup_epochs) == (4, "v1", 5)
+    assert a.logdir == "./pretrain_vovnet"
+    # validate every 5 epochs + best component ckpt + periodic every 10
+    # (pre_train_vovnet.py:430-497)
+    assert (a.eval_every, a.ckpt_every, a.save_best) == (5, 10, True)
     a = _parse_cli("train-v2")
     assert (a.wdecay, a.bsize, a.max_grad_norm, a.nepochs) == (1e-8, 8, 10.0, 60)
+    assert (a.nworkers, a.lss_version) == (4, "v1")
+    assert a.logdir == "./checkpoints_vovnet_transformer"
+    assert (a.eval_every, a.ckpt_every, a.save_best) == (5, 10, True)
+    # default stage-1 warm start (train_vovnet_transformer.py:49-50)
+    assert a.pretrained_path == "./pretrain_vovnet/best_pretrained.pth"
+    assert a.no_pretrained is False and a.save_suffix == ""
     a = _parse_cli("predict")
-    assert a.bsize == 1
+    assert (a.bsize, a.nworkers, a.logdir) == (1, 10, "./test-result/")
+    assert (a.lr, a.wdecay) == (1e-3, 1e-7)  # inert, predict.py:113-114
+    a = _parse_cli("predict-iou")
+    assert (a.bsize, a.logdir) == (1, "./test-result/")
 
 
 def test_cli_aug_defaults_match_reference_scripts():
@@ -303,6 +324,83 @@ def test_multihost_eval_reduce():
     np.testing.assert_array_equal(ap[0][:2], np.ones((2, 4), bool))
 
 
+def test_cli_pretrain_v2_checkpoint_surface(fixture_dataroot, tmp_path):
+    """`cli pretrain-v2` (stack-B stage 1) on the fixture: NO per-epoch bare
+    params (stack B never writes model{N}.pt); best COMPONENT checkpoint
+    `best_pretrained` + periodic `pretrained_epoch_{N}` with 1-based epoch
+    numbering (pre_train_vovnet.py:430-497)."""
+    from lss2_multimodal_nu_tpu.cli import main
+    from lss2_multimodal_nu_tpu.models.vovnet_pretrain import PRETRAIN_COMPONENTS
+
+    logdir = str(tmp_path / "log")
+    main(
+        [
+            "pretrain-v2",
+            "--version", "mini",
+            "--dataroot", fixture_dataroot,
+            "--nepochs", "1",
+            "--bsize", "2",
+            "--nworkers", "2",
+            "--logdir", logdir,
+            "--H", "90", "--W", "160",
+            # shrink the BEV grid so the CPU transformer stays cheap
+            "--xbound", "-10", "10", "0.5",
+            "--ybound", "-10", "10", "0.5",
+            "--eval_every", "1", "--ckpt_every", "1",
+        ]
+    )
+    assert not os.path.isdir(os.path.join(logdir, "model0"))
+    assert not os.path.isdir(os.path.join(logdir, "model1"))
+    best = os.path.join(logdir, "best_pretrained")
+    periodic = os.path.join(logdir, "pretrained_epoch_1")
+    assert os.path.isdir(best) and os.path.isdir(periodic)
+    assert os.path.isdir(os.path.join(logdir, "state_latest"))
+    tree = ckpt.load_tree(best)
+    assert list(tree["components"]) == list(PRETRAIN_COMPONENTS)
+    assert set(tree["params"]) <= set(PRETRAIN_COMPONENTS)
+    assert tree["extra"]["epoch"] == 1
+    assert tree["extra"]["lss_version"] == "v1"  # pre_train_vovnet.py:301
+    assert np.isfinite(tree["extra"]["miou"])
+
+
+def test_train_v2_default_stage1_warmstart(tmp_path):
+    """train-v2 loads ./pretrain_vovnet/best_pretrained.pth-equivalent by
+    default (train_vovnet_transformer.py:428-449); --no_pretrained and an
+    absent file both fall back to the fresh init."""
+    from types import SimpleNamespace
+
+    from lss2_multimodal_nu_tpu.cli import _maybe_stage1_warmstart
+
+    class FakeState(SimpleNamespace):
+        def replace(self, **kw):
+            return FakeState(**{**self.__dict__, **kw})
+
+    comp = str(tmp_path / "best_pretrained")
+    ckpt.save_components(
+        comp, {"backbone": {"w": jnp.ones(3)}}, {}, ["backbone"],
+        extra={"miou": 0.5},
+    )
+    init = FakeState(
+        params={"backbone": {"w": jnp.zeros(3)}, "head": {"w": jnp.zeros(2)}},
+        batch_stats={},
+    )
+    args = SimpleNamespace(checkpoint="", resume=False, no_pretrained=False,
+                           pretrained_path=comp)
+    out = _maybe_stage1_warmstart(args, "vovnet_transformer", init)
+    np.testing.assert_array_equal(np.asarray(out.params["backbone"]["w"]), np.ones(3))
+    np.testing.assert_array_equal(np.asarray(out.params["head"]["w"]), np.zeros(2))
+    # --no_pretrained / missing file / other family: untouched
+    for a, fam in (
+        (SimpleNamespace(**{**args.__dict__, "no_pretrained": True}), "vovnet_transformer"),
+        (SimpleNamespace(**{**args.__dict__, "pretrained_path": comp + "_missing"}), "vovnet_transformer"),
+        (args, "bev_txt"),
+    ):
+        out = _maybe_stage1_warmstart(a, fam, init)
+        np.testing.assert_array_equal(
+            np.asarray(out.params["backbone"]["w"]), np.zeros(3)
+        )
+
+
 def test_cli_predict_end_to_end(fixture_dataroot, tmp_path):
     """`cli predict` on the fixture: eval at batch 1 on the test split,
     test.txt surface written (predict.py:97-99), composed viz figures
@@ -326,9 +424,16 @@ def test_cli_predict_end_to_end(fixture_dataroot, tmp_path):
     )
     txt = open(out_file).read()
     assert "mean IoU" in txt
-    report = json.loads(txt.strip().splitlines()[-1])
-    assert "act_f1" in report and len(report["desc_f1"]) == 8
-    assert np.isfinite(report["loss"])
+    # reference format (predict.py:97-99): checkpoint line, confmat repr,
+    # then the indented F1_info block
+    assert "F1_info:" in txt
+    for field in ("F1_Action:", "F1_Description:", "Action_overall:",
+                  "Description_overall:", "Action_mean:", "Description_mean:"):
+        assert field in txt, field
+    mean_line = [l for l in txt.splitlines() if "Action_mean:" in l][0]
+    assert np.isfinite(float(mean_line.split(":")[1]))
+    desc_line = [l for l in txt.splitlines() if "F1_Description:" in l][0]
+    assert len(json.loads(desc_line.split(":", 1)[1])) == 8
     assert os.path.isfile(os.path.join(viz_dir, "pred_000.png"))
 
 
